@@ -1,0 +1,74 @@
+"""C7 — sort-merge equi-join (SURVEY.md §2.1 C7).
+
+Reference capability: sort-merge join with radix-sorted runs + two-cursor
+merge (BASELINE.json:L5 "radix sort for the merge path"; oracle twin:
+oracle/main.cc merge_join). A cursor merge is serial control flow — the
+TPU realization instead:
+
+  1. co-sort the build side R by key (radix sort kernel C5; `jax.lax`
+     stable argsort as the always-correct fallback, SURVEY.md §7.3.4);
+  2. for every probe row of S, binary-search the sorted R keys for its
+     match range [lower, upper) — vectorized over all rows at once;
+  3. expand (offset, count) segments into gather indices with
+     cumsum + scatter + cummax (tpq/ops/_expand.py) — no per-row loops.
+
+Join semantics match the oracle exactly: inner equi-join on "key",
+duplicates produce the full cross product per key; output columns
+key, r_<R payloads>, s_<S payloads>.
+
+Output capacity is static (worst case |R|x|S| is unrepresentable —
+SURVEY.md §7.4.3): callers pass out_capacity; `num_rows` returned may
+exceed it, which callers must treat as overflow and renegotiate.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from tpq.columnar import Table
+from tpq.ops._expand import expand_segments
+
+I64_MAX = jnp.iinfo(jnp.int64).max
+
+
+def sort_table_by_key(t: Table, key: str = "key") -> Table:
+    """Stable co-sort of all columns by `key`; padding rows sort last
+    (their key is forced to I64_MAX; ties with real I64_MAX rows are
+    resolved by stability — real rows first)."""
+    k = jnp.where(t.valid_mask(), t.col(key), I64_MAX)
+    order = jnp.argsort(k, stable=True)
+    cols = {key: k[order]}
+    for name, col in t.columns.items():
+        if name != key:
+            cols[name] = col[order]
+    return Table(cols, t.num_rows)
+
+
+def merge_join(r: Table, s: Table, out_capacity: int, key: str = "key") -> Table:
+    """Inner equi-join R ⋈ S on `key`. Returns Table with static capacity
+    `out_capacity`; .num_rows is the true match count (check overflow)."""
+    n_r, n_s = r.num_rows, s.num_rows
+    r_sorted = sort_table_by_key(r, key)
+    rk = r_sorted.col(key)
+
+    sk = s.col(key)
+    lower = jnp.searchsorted(rk, sk, side="left").astype(jnp.int32)
+    upper = jnp.searchsorted(rk, sk, side="right").astype(jnp.int32)
+    # Padding R rows sit at positions >= n_r with key I64_MAX: clamp the
+    # range so real probes of I64_MAX don't match padding.
+    lower = jnp.minimum(lower, n_r)
+    upper = jnp.minimum(upper, n_r)
+    counts = jnp.where(s.valid_mask(), upper - lower, 0)
+
+    seg, rank, total, valid = expand_segments(counts, out_capacity)
+    r_idx = jnp.minimum(lower[seg] + rank, r_sorted.capacity - 1)
+    s_idx = seg
+
+    cols = {key: jnp.where(valid, sk[s_idx], 0)}
+    for name, col in r_sorted.columns.items():
+        if name != key:
+            cols[f"r_{name}"] = jnp.where(valid, col[r_idx], 0)
+    for name, col in s.columns.items():
+        if name != key:
+            cols[f"s_{name}"] = jnp.where(valid, col[s_idx], 0)
+    return Table(cols, total)
