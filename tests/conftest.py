@@ -16,9 +16,12 @@ _PLATFORM = os.environ.get("TPQ_TEST_PLATFORM", "cpu")
 os.environ["JAX_PLATFORMS"] = _PLATFORM
 if _PLATFORM == "cpu":
     os.environ["PALLAS_AXON_POOL_IPS"] = ""  # keep axon from hijacking
-    flags = os.environ.get("XLA_FLAGS", "")
-    if "host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    # The axon sitecustomize imports jax at interpreter startup, freezing
+    # env-var config before this file runs — jax.config.update still works.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

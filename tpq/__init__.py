@@ -19,9 +19,18 @@ hash/compare in 2xu32 lanes internally (SURVEY.md §7.4.4); i64 only at
 boundaries.
 """
 
+import os
+
 import jax
 
 jax.config.update("jax_enable_x64", True)
+# TPU compiles are expensive on this stack (~53 s cold, SURVEY.md §7.1);
+# a persistent cache makes every later process warm-start.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/tpq_jax")),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from tpq.columnar import Table  # noqa: E402,F401
 

@@ -1,0 +1,138 @@
+"""B1 — config-driven benchmark runner (SURVEY.md §2.4 B1, §3.4).
+
+Runs the BASELINE.json:L6-L12 named presets (tpq/config.py): generates
+seed-stable relations, jits the operator (or the fused config-4
+pipeline), times warmup+iters with block_until_ready, accounts each run
+against the measured-HBM-BW roofline (B2), and emits structured records
+(B6) + md/json report (B3).
+
+CLI:  python -m tpq.bench.runner --config=single_chip_1m [--algo=...]
+      [--iters=N] [--trace-dir=...] [--json-out=...] [--check]
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import numpy as np
+
+from tpq import Table
+from tpq import datagen
+from tpq.bench import roofline
+from tpq.bench.report import emit_json, markdown_table
+from tpq.config import PRESETS, BenchConfig, RelationSpec
+from tpq.log import GLOBAL_LOG
+from tpq.ops import hash_join, merge_join
+from tpq.query import jit_pipeline
+from tpq.trace import annotate, trace_if
+
+
+def gen(spec: RelationSpec) -> Table:
+    return datagen.gen_relation(spec.rows, spec.nkeys, spec.payloads, spec.seed,
+                                spec.kind, spec.theta)
+
+
+def out_capacity_for(cfg: BenchConfig) -> int:
+    from tpq.columnar import next_pow2
+
+    base = max(cfg.r.rows, cfg.s.rows)
+    return next_pow2(int(base * cfg.join.out_capacity_factor))
+
+
+def time_fn(fn, args, warmup: int, iters: int) -> tuple[float, object]:
+    out = None
+    for _ in range(max(1, warmup)):
+        out = jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = jax.block_until_ready(fn(*args))
+    return (time.perf_counter() - t0) / iters, out
+
+
+def run_config(cfg: BenchConfig, hbm_bw: float | None = None, trace_dir: str | None = None) -> dict:
+    if hbm_bw is None:
+        hbm_bw = roofline.measure_hbm_bw(size_mb=256, iters=5)
+    r, s = gen(cfg.r), gen(cfg.s)
+    jax.block_until_ready((r.columns, s.columns))
+    out_cap = out_capacity_for(cfg)
+
+    results = []
+    if cfg.pipeline:
+        fn = jit_pipeline(out_cap, algo=cfg.join.algo, join_impl=cfg.join.impl)
+        with trace_if(trace_dir), annotate("pipeline"):
+            dt, out = time_fn(fn, (r, s, cfg.filter_value), cfg.warmup, cfg.iters)
+        bytes_model = (
+            roofline.filter_bytes(s.capacity, len(s.columns)).total
+            + sum(b.total for b in roofline.hash_join_bytes(
+                r.capacity, len(r.columns), s.capacity, len(s.columns), out_cap).values())
+            + roofline.aggregate_bytes(out_cap, 2 + (len(r.columns) - 1) + (len(s.columns) - 1)).total
+        )
+        results.append(roofline.RooflineResult("pipeline", dt, bytes_model, hbm_bw, cfg.s.rows))
+    else:
+        if cfg.join.algo == "hash":
+            def fn(r_, s_):
+                return hash_join(r_, s_, out_cap, impl=cfg.join.impl)
+            byte_model = roofline.hash_join_bytes(
+                r.capacity, len(r.columns), s.capacity, len(s.columns), out_cap)
+        else:
+            def fn(r_, s_):
+                return merge_join(r_, s_, out_cap)
+            byte_model = roofline.merge_join_bytes(
+                r.capacity, len(r.columns), s.capacity, len(s.columns), out_cap)
+        jfn = jax.jit(fn)
+        with trace_if(trace_dir), annotate(f"join_{cfg.join.algo}"):
+            dt, out = time_fn(jfn, (r, s), cfg.warmup, cfg.iters)
+        total_bytes = sum(b.total for b in byte_model.values())
+        results.append(roofline.RooflineResult(
+            f"join_{cfg.join.algo}_{cfg.join.impl}", dt, total_bytes, hbm_bw, cfg.s.rows))
+
+    rows = [res.row() for res in results]
+    for rec in rows:
+        GLOBAL_LOG.emit(config=cfg.name, **rec)
+    return {
+        "config": cfg.name,
+        "hbm_bw_gbps": hbm_bw,
+        "out_capacity": out_cap,
+        "out_rows": int(out.num_rows),
+        "ops": rows,
+    }
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="single_chip_1m", choices=sorted(PRESETS))
+    p.add_argument("--algo", default=None, choices=[None, "hash", "merge"])
+    p.add_argument("--impl", default=None, choices=[None, "sorted", "rh"])
+    p.add_argument("--iters", type=int, default=None)
+    p.add_argument("--trace-dir", default=None)
+    p.add_argument("--json-out", default=None)
+    p.add_argument("--log-jsonl", default=None)
+    args = p.parse_args(argv)
+
+    cfg = PRESETS[args.config]
+    from dataclasses import replace
+
+    if args.algo or args.impl:
+        jn = replace(cfg.join, **({"algo": args.algo} if args.algo else {}),
+                     **({"impl": args.impl} if args.impl else {}))
+        cfg = replace(cfg, join=jn)
+    if args.iters:
+        cfg = replace(cfg, iters=args.iters)
+    if args.log_jsonl:
+        GLOBAL_LOG.path = args.log_jsonl
+
+    report = run_config(cfg, trace_dir=args.trace_dir)
+    print(f"# {cfg.name} on {jax.devices()[0].device_kind} "
+          f"(HBM {report['hbm_bw_gbps']:.0f} GB/s measured)")
+    print(markdown_table(report["ops"],
+                         ["op", "elapsed_ms", "sol_ms", "roofline_pct", "rows_per_sec"]))
+    if args.json_out:
+        emit_json(args.json_out, report)
+    return report
+
+
+if __name__ == "__main__":
+    main()

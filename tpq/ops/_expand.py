@@ -8,15 +8,15 @@ gather indices for an output of static capacity:
   out slot t belongs to source row seg(t), with within-segment rank
   rank(t) = t - offset[seg(t)].
 
-Implemented with one scatter + one cummax (no data-dependent control flow):
-scatter j into slot offset[j] for every j with count>0 (empty segments are
-dropped via out-of-bounds index + mode='drop'), then a running max fills
-each segment with its source row id.
+Implemented with a vectorized binary search (searchsorted) over the
+exclusive-cumsum offsets — gathers only. The earlier scatter+cummax
+variant was dropped: XLA:TPU executes general scatters serially
+(scripts/tpu_smoke.py measurements), searchsorted is log-n parallel
+gathers.
 """
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 
@@ -34,17 +34,15 @@ def expand_segments(counts: jnp.ndarray, capacity: int):
               => overflow; caller must check)
       valid:  bool[capacity] — slot < total
     """
-    n = counts.shape[0]
     counts = counts.astype(jnp.int32)
     offsets = exclusive_cumsum(counts)
     total = offsets[-1] + counts[-1]
-    src = jnp.arange(n, dtype=jnp.int32)
-    # only segments with count>0 scatter their start; clamp offset into range
-    # but divert empty segments out of bounds so they drop.
-    scatter_to = jnp.where(counts > 0, offsets, capacity)
-    mark = jnp.full(capacity, -1, jnp.int32).at[scatter_to].max(src, mode="drop")
-    seg_id = jax.lax.cummax(mark)
+    slot = jnp.arange(capacity, dtype=jnp.int32)
+    # Output slot t belongs to the last source row j with offsets[j] <= t
+    # (ties from empty segments resolve to the largest j, which is the
+    # non-empty one: an empty j shares its offset with j+1).
+    seg_id = (jnp.searchsorted(offsets, slot, side="right") - 1).astype(jnp.int32)
     seg_id = jnp.maximum(seg_id, 0)
-    rank = jnp.arange(capacity, dtype=jnp.int32) - offsets[seg_id]
-    valid = jnp.arange(capacity, dtype=jnp.int32) < total
+    rank = slot - offsets[seg_id]
+    valid = slot < total
     return seg_id, rank, total, valid

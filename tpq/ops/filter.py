@@ -24,16 +24,23 @@ _OPS: dict[str, Callable] = {
 }
 
 
+def compact_indices(keep: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Gather indices that bring kept rows to the front, stable.
+
+    Sort-based, NOT scatter-based: XLA:TPU executes general scatters
+    serially (measured 179 ms for a 1M-row scatter-compact vs 0.2 ms for
+    the sort path — scripts/tpu_smoke.py), while stable sort of a byte key
+    is fast. Rows with keep=False land at the back in stable order.
+    Returns (perm, n_kept)."""
+    perm = jnp.argsort(jnp.where(keep, 0, 1).astype(jnp.uint8), stable=True)
+    return perm.astype(jnp.int32), jnp.sum(keep, dtype=jnp.int32)
+
+
 def compact(t: Table, keep: jnp.ndarray) -> Table:
     """Keep rows where `keep` (bool[capacity]); stable order."""
     keep = keep & t.valid_mask()
-    n_out = jnp.sum(keep, dtype=jnp.int32)
-    dest = (jnp.cumsum(keep.astype(jnp.int32)) - 1).astype(jnp.int32)
-    scatter_to = jnp.where(keep, dest, t.capacity)  # dropped when not kept
-    cols = {
-        name: jnp.zeros_like(col).at[scatter_to].set(col, mode="drop")
-        for name, col in t.columns.items()
-    }
+    perm, n_out = compact_indices(keep)
+    cols = {name: col[perm] for name, col in t.columns.items()}
     return Table(cols, n_out)
 
 

@@ -2,12 +2,12 @@
 (SURVEY.md §2.1 C8; BASELINE.json:L5,L10 "hash aggregate (group-by
 count/sum)"; oracle twin: oracle/main.cc aggregate()).
 
-Two paths:
-  * sort path (this module, always available): co-sort by key, segment ids
-    from neighbor compare, `jax.ops.segment_sum` — the "sort-based
-    fallback" of SURVEY.md §2.1 C8;
-  * table path (tpq/kernels/rh_table.py accumulate-on-hit) arrives with
-    the hash-join kernel layer and reuses this as its test reference.
+TPU realization (sort path, always available): co-sort by key, then
+segment sums as *cumsum differences at group boundaries* — cumsum, two
+gathers, zero scatters (XLA:TPU executes general scatter/segment_sum
+serially; measured in scripts/tpu_smoke.py). The robin-hood
+accumulate-on-hit table path (tpq/kernels/rh_table.py) reuses this as its
+differential-test reference.
 
 Sums are wrapping int64 (associative-safe — no float reorder
 nondeterminism, SURVEY.md §4.4.4). Output columns: key, count,
@@ -17,14 +17,11 @@ order (canonical already).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from tpq.columnar import Table
-from tpq.ops.filter import compact
+from tpq.ops.filter import compact_indices
 from tpq.ops.merge_join import sort_table_by_key
-
-I64_MIN = jnp.iinfo(jnp.int64).min
 
 
 def hash_aggregate(t: Table, key: str = "key") -> Table:
@@ -34,19 +31,28 @@ def hash_aggregate(t: Table, key: str = "key") -> Table:
     ts = sort_table_by_key(t, key)
     k = ts.col(key)
     valid = ts.valid_mask()
+    n = t.num_rows
 
-    prev_differs = jnp.concatenate([jnp.zeros(1, jnp.int32), (k[1:] != k[:-1]).astype(jnp.int32)])
-    seg = jnp.cumsum(prev_differs)  # padding rows (key=I64_MAX) share the last segment
-    ones = valid.astype(jnp.int64)
+    is_start = valid & jnp.concatenate(
+        [jnp.ones(1, bool), k[1:] != k[:-1]]
+    )
+    # stable front-compaction of group-start positions
+    perm, n_groups = compact_indices(is_start)
+    starts = perm  # starts[g] = row index of group g's first row, for g < n_groups
+    g_idx = jnp.arange(cap, dtype=jnp.int32)
+    is_real = g_idx < n_groups
+    # group g spans [starts[g], ends[g]] inclusive; last group ends at n-1
+    next_start = jnp.where(g_idx + 1 < n_groups, starts[jnp.minimum(g_idx + 1, cap - 1)], n)
+    ends = jnp.maximum(next_start - 1, 0)
+    starts_c = jnp.minimum(starts, cap - 1)
 
-    counts = jax.ops.segment_sum(ones, seg, num_segments=cap)
-    keys_g = jax.ops.segment_max(jnp.where(valid, k, I64_MIN), seg, num_segments=cap)
-
-    cols = {key: keys_g, "count": counts}
+    cols = {key: jnp.where(is_real, k[starts_c], 0)}
+    ones_cum = jnp.cumsum(valid.astype(jnp.int64))
+    # inclusive-cumsum segment sum over [s, e]: c[e] - c[s] + v[s]
+    cols["count"] = jnp.where(is_real, ones_cum[ends] - ones_cum[starts_c] + 1, 0)
     for name, col in ts.columns.items():
         if name != key:
-            cols[f"sum_{name}"] = jax.ops.segment_sum(jnp.where(valid, col, 0), seg, num_segments=cap)
-
-    # Padding-only segments (and unused segment slots) have count 0: drop.
-    grouped = Table(cols, cap)
-    return compact(grouped, counts > 0)
+            v = jnp.where(valid, col, 0)
+            c = jnp.cumsum(v)
+            cols[f"sum_{name}"] = jnp.where(is_real, c[ends] - c[starts_c] + v[starts_c], 0)
+    return Table(cols, n_groups)
