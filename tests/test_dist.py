@@ -65,7 +65,7 @@ def test_dist_join_zipf_skew_correct(oracle, tmp_path):
     oracle("join", algo="hash", left=pr, right=ps, out=po)
     R = DistTable.from_numpy(r, mesh, local_capacity=4096)
     S = DistTable.from_numpy(s, mesh, local_capacity=4096)
-    out, overflow = dist_hash_join(R, S, mesh, out_capacity_per_shard=1 << 19,
+    out, overflow = dist_hash_join(R, S, mesh, out_capacity_per_shard=1 << 17,
                                    exchange_capacity=4096)
     assert int(np.asarray(overflow).sum()) == 0
     assert_tables_equal(_canon_np(out.to_numpy()), colio.load(str(po)), "dist_zipf")
@@ -92,3 +92,54 @@ def test_dist_empty_relation():
     out, overflow = dist_hash_join(R, S, mesh, out_capacity_per_shard=256)
     assert int(np.asarray(overflow).sum()) == 0
     assert len(out.to_numpy()["key"]) == 0
+
+
+@requires_multidevice
+@pytest.mark.parametrize("n_chunks", [1, 4])
+def test_dist_join_skew_split_matches_oracle(oracle, tmp_path, n_chunks):
+    """D4 + D3: zipf theta=1.0 with heavy-hitter splitting and chunked
+    (overlappable) exchange - still oracle-exact."""
+    from tpq.dist.dist_join import SkewConfig
+
+    mesh = make_mesh(8)
+    r = datagen.gen_relation_np(4096, 5000, payloads=1, seed=51, kind="zipf")
+    s = datagen.gen_relation_np(4096, 5000, payloads=1, seed=52, kind="zipf")
+    pr, ps, po = (tmp_path / f"sk{n_chunks}_{n}.tpqc" for n in ("r", "s", "o"))
+    colio.dump(str(pr), r)
+    colio.dump(str(ps), s)
+    oracle("join", algo="merge", left=pr, right=ps, out=po)
+    R = DistTable.from_numpy(r, mesh)
+    S = DistTable.from_numpy(s, mesh)
+    out, overflow = dist_hash_join(
+        R, S, mesh, out_capacity_per_shard=1 << 17, exchange_capacity=2048,
+        skew=SkewConfig(candidates_per_shard=8, threshold=256,
+                        replica_capacity_per_shard=2048),
+        n_chunks=n_chunks)
+    assert int(np.asarray(overflow).sum()) == 0
+    assert_tables_equal(_canon_np(out.to_numpy()), colio.load(str(po)),
+                        f"dist_skew_{n_chunks}")
+
+
+@requires_multidevice
+def test_skew_split_actually_diverts_heavy_keys():
+    """The heavy path must carry the zipf head: with a tiny exchange
+    capacity that WOULD overflow on the unsplit join, the split join
+    must not overflow."""
+    from tpq.dist.dist_join import SkewConfig
+
+    mesh = make_mesh(8)
+    r = datagen.gen_relation_np(8192, 50_000, payloads=1, seed=61, kind="zipf")
+    s = datagen.gen_relation_np(8192, 50_000, payloads=1, seed=62, kind="zipf")
+    R = DistTable.from_numpy(r, mesh)
+    S = DistTable.from_numpy(s, mesh)
+    # key 0 appears ~9% of 8192 = ~750 times per side; exchange buckets of
+    # 512 per destination overflow without splitting...
+    _, ovf_nosplit = dist_hash_join(R, S, mesh, out_capacity_per_shard=1 << 17,
+                                    exchange_capacity=512)
+    assert int(np.asarray(ovf_nosplit).sum()) > 0
+    # ...and survive with the heavy keys diverted to the replica path.
+    _, ovf_split = dist_hash_join(
+        R, S, mesh, out_capacity_per_shard=1 << 17, exchange_capacity=512,
+        skew=SkewConfig(candidates_per_shard=8, threshold=128,
+                        replica_capacity_per_shard=4096))
+    assert int(np.asarray(ovf_split).sum()) == 0

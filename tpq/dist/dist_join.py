@@ -1,9 +1,10 @@
 """D5 — end-to-end distributed hash join (SURVEY.md §2.2 D5, §3.3;
 BASELINE.json:L11 config 5).
 
-partition-by-owner -> shuffle exchange (D2) -> local join (C6), the whole
-body one shard_map over the mesh. Results stay row-sharded (left on the
-owning chip); tests gather and canonicalize.
+partition-by-owner -> (skew split, D4) -> shuffle exchange (D2, chunked
+for overlap, D3) -> local join (C6), the whole body one shard_map over
+the mesh. Results stay row-sharded (left on the producing chip); tests
+gather and canonicalize.
 
 DistTable is the sharded twin of Table: columns are globally-shaped
 arrays sharded P('x') on the row axis, plus a per-shard row-count vector
@@ -18,13 +19,27 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tpq.columnar import Table, next_pow2
 from tpq.dist.exchange import exchange
 from tpq.dist.mesh import AXIS, owner_of
+from tpq.dist.overlap import chunk_table, concat_tables
+from tpq.dist.skew import detect_heavy_keys, is_key_in, replicate_rows
 from tpq.ops import hash_join, merge_join
+from tpq.ops.filter import compact
+from tpq.ops.merge_join import I64_MAX
+
+
+@dataclass(frozen=True)
+class SkewConfig:
+    """D4 knobs: candidate nomination width, global heaviness threshold
+    (rows across both sides), replica capacity per shard."""
+
+    candidates_per_shard: int = 16
+    threshold: int = 1 << 12
+    replica_capacity_per_shard: int = 1 << 12
 
 
 @dataclass
@@ -73,6 +88,12 @@ class DistTable:
         return out
 
 
+def _local_join(algo: str, r: Table, s: Table, cap: int, key: str) -> Table:
+    if algo == "hash":
+        return hash_join(r, s, cap, key=key)
+    return merge_join(r, s, cap, key=key)
+
+
 def dist_hash_join(
     r: DistTable,
     s: DistTable,
@@ -82,14 +103,16 @@ def dist_hash_join(
     algo: str = "hash",
     exchange_impl: str = "dense",
     key: str = "key",
+    skew: SkewConfig | None = None,
+    n_chunks: int = 1,
 ) -> tuple[DistTable, jax.Array]:
     """Distributed inner equi-join. Returns (row-sharded result,
     overflow counts int32[nchips] — nonzero means a shard's exchange
-    bucket or join output overflowed and capacities must be renegotiated
-    (SURVEY.md §5.3))."""
+    bucket, skew replica, or join output overflowed and capacities must
+    be renegotiated (SURVEY.md §5.3))."""
     nchips = mesh.devices.size
-    # worst case one chip owns everything; default halves that with slack 2x
     ex_cap = exchange_capacity or max(128, next_pow2(2 * r.local_capacity // max(1, nchips) * 2))
+    assert out_capacity_per_shard % n_chunks == 0
 
     r_spec = {n: P(AXIS) for n in r.columns}
     s_spec = {n: P(AXIS) for n in s.columns}
@@ -106,18 +129,63 @@ def dist_hash_join(
     def body(r_cols, r_n, s_cols, s_n):
         R = Table(r_cols, r_n[0])
         S = Table(s_cols, s_n[0])
-        R2, r_ovf = exchange(R, owner_of(R.col(key), nchips), AXIS, nchips,
-                             ex_cap, impl=exchange_impl)
-        S2, s_ovf = exchange(S, owner_of(S.col(key), nchips), AXIS, nchips,
-                             ex_cap, impl=exchange_impl)
-        if algo == "hash":
-            out = hash_join(R2, S2, out_capacity_per_shard, key=key)
-        else:
-            out = merge_join(R2, S2, out_capacity_per_shard, key=key)
+        overflow = jnp.int32(0)
+
+        r_heavy = jnp.zeros(R.capacity, bool)
+        s_heavy = jnp.zeros(S.capacity, bool)
+        heavy_out = None
+        if skew is not None:
+            rk = jnp.sort(jnp.where(R.valid_mask(), R.col(key), I64_MAX))
+            sk = jnp.sort(jnp.where(S.valid_mask(), S.col(key), I64_MAX))
+            heavy_keys, _ = detect_heavy_keys(
+                rk, R.num_rows, sk, S.num_rows, AXIS,
+                skew.candidates_per_shard, skew.threshold)
+            r_heavy = is_key_in(R.col(key), heavy_keys) & R.valid_mask()
+            s_heavy = is_key_in(S.col(key), heavy_keys) & S.valid_mask()
+            # heavy build rows -> replicated everywhere; heavy probe rows
+            # stay local; the pair is emitted on the probe row's home chip.
+            R_rep, rep_ovf = replicate_rows(R, r_heavy, AXIS,
+                                            skew.replica_capacity_per_shard)
+            S_local_heavy = compact(S, s_heavy)
+            heavy_out = _local_join(algo, R_rep, S_local_heavy,
+                                    out_capacity_per_shard, key)
+            overflow += rep_ovf + (heavy_out.num_rows > out_capacity_per_shard).astype(jnp.int32)
+
+        # light path: hash exchange (heavy rows diverted out of the buckets)
+        dest_r = jnp.where(r_heavy, nchips, owner_of(R.col(key), nchips))
+        dest_s = jnp.where(s_heavy, nchips, owner_of(S.col(key), nchips))
+        R2, r_ovf = exchange(R, dest_r, AXIS, nchips, ex_cap, impl=exchange_impl)
+        overflow += r_ovf
+
+        chunk_cap = out_capacity_per_shard // n_chunks
+        s_chunks = chunk_table(S, n_chunks) if n_chunks > 1 else [S]
+        dest_chunks = chunk_table(Table({"d": dest_s}, S.num_rows), n_chunks) \
+            if n_chunks > 1 else [Table({"d": dest_s}, S.num_rows)]
+        outs = []
+        for Sc, Dc in zip(s_chunks, dest_chunks):
+            # chunked exchanges are mutually independent: XLA overlaps
+            # chunk i+1's all-to-all with chunk i's probe (D3).
+            dc = jnp.where(jnp.arange(Sc.capacity) < Sc.num_rows, Dc.col("d"), nchips)
+            S2, s_ovf = exchange(Sc, dc, AXIS, nchips, ex_cap, impl=exchange_impl)
+            overflow += s_ovf
+            out_c = _local_join(algo, R2, S2,
+                                chunk_cap if n_chunks > 1 else out_capacity_per_shard, key)
+            overflow += (out_c.num_rows > out_c.capacity).astype(jnp.int32)
+            out_c = Table(out_c.columns, jnp.minimum(out_c.num_rows, out_c.capacity))
+            outs.append(out_c)
+
+        if heavy_out is not None:
+            heavy_out = Table(heavy_out.columns,
+                              jnp.minimum(heavy_out.num_rows, out_capacity_per_shard))
+            outs.append(heavy_out)
+        merged, valid = concat_tables(outs)
+        # compact against the slot mask, not merged.num_rows: valid rows are
+        # scattered per-chunk, so valid_mask() (a prefix mask) must not apply
+        out = compact(Table(merged.columns, merged.capacity), valid)
+        out = out.with_capacity(out_capacity_per_shard)
         out_overflow = (out.num_rows > out_capacity_per_shard).astype(jnp.int32)
-        ovf = (r_ovf + s_ovf + out_overflow)[None]
         n_out = jnp.minimum(out.num_rows, out_capacity_per_shard)[None]
-        return dict(out.columns), n_out.astype(jnp.int32), ovf
+        return dict(out.columns), n_out.astype(jnp.int32), (overflow + out_overflow)[None]
 
     out_cols, out_counts, overflow = body(r.columns, r.shard_rows, s.columns, s.shard_rows)
     return DistTable(out_cols, out_counts), overflow
