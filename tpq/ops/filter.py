@@ -32,8 +32,10 @@ def compact_indices(keep: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     the sort path — scripts/tpu_smoke.py), while stable sort of a byte key
     is fast. Rows with keep=False land at the back in stable order.
     Returns (perm, n_kept)."""
+    from tpq.ops._expand import barrier
+
     perm = jnp.argsort(jnp.where(keep, 0, 1).astype(jnp.uint8), stable=True)
-    return perm.astype(jnp.int32), jnp.sum(keep, dtype=jnp.int32)
+    return barrier(perm.astype(jnp.int32)), jnp.sum(keep, dtype=jnp.int32)
 
 
 def compact(t: Table, keep: jnp.ndarray) -> Table:

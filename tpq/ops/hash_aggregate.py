@@ -33,11 +33,13 @@ def hash_aggregate(t: Table, key: str = "key") -> Table:
     valid = ts.valid_mask()
     n = t.num_rows
 
+    from tpq.ops._expand import barrier
+
     is_start = valid & jnp.concatenate(
         [jnp.ones(1, bool), k[1:] != k[:-1]]
     )
     # stable front-compaction of group-start positions
-    perm, n_groups = compact_indices(is_start)
+    perm, n_groups = compact_indices(barrier(is_start))
     starts = perm  # starts[g] = row index of group g's first row, for g < n_groups
     g_idx = jnp.arange(cap, dtype=jnp.int32)
     is_real = g_idx < n_groups

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from tpq.columnar import Table
 from tpq.hashing import hash_keys
-from tpq.ops._expand import expand_segments
+from tpq.ops._expand import barrier, expand_segments
 from tpq.ops.filter import compact
 
 I64_MAX = jnp.iinfo(jnp.int64).max
@@ -65,16 +65,16 @@ def hash_join(
     if bits is None:
         bits = max(1, min(30, (r.capacity - 1).bit_length()))
 
-    comp_r = _composite(r.col(key), r.valid_mask(), bits)
-    order = jnp.argsort(comp_r, stable=True)
+    comp_r = barrier(_composite(r.col(key), r.valid_mask(), bits))
+    order = barrier(jnp.argsort(comp_r, stable=True))
     comp_sorted = comp_r[order]
-    r_sorted = r.gather(order, r.num_rows)
+    r_sorted = Table(barrier(dict(r.gather(order, r.num_rows).columns)), r.num_rows)
 
-    comp_s = _composite(s.col(key), s.valid_mask(), bits)
+    comp_s = barrier(_composite(s.col(key), s.valid_mask(), bits))
     lower = jnp.searchsorted(comp_sorted, comp_s, side="left").astype(jnp.int32)
     upper = jnp.searchsorted(comp_sorted, comp_s, side="right").astype(jnp.int32)
-    lower = jnp.minimum(lower, r.num_rows)
-    upper = jnp.minimum(upper, r.num_rows)
+    lower = barrier(jnp.minimum(lower, r.num_rows))
+    upper = barrier(jnp.minimum(upper, r.num_rows))
     counts = jnp.where(s.valid_mask(), upper - lower, 0)
 
     seg, rank, total, valid = expand_segments(counts, out_capacity)
@@ -92,7 +92,7 @@ def hash_join(
     for name, col in s.columns.items():
         if name != key:
             cols[f"s_{name}"] = jnp.where(valid, col[s_idx], 0)
-    candidates = Table(cols, jnp.minimum(total, out_capacity))
+    candidates = Table(barrier(cols), jnp.minimum(total, out_capacity))
     out = compact(candidates, true_match)
     # Preserve overflow visibility: if candidates exceeded out_capacity we
     # cannot have produced the exact match set — surface total (> capacity)

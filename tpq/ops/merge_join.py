@@ -26,7 +26,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from tpq.columnar import Table
-from tpq.ops._expand import expand_segments
+from tpq.ops._expand import barrier, expand_segments
 
 I64_MAX = jnp.iinfo(jnp.int64).max
 
@@ -36,12 +36,12 @@ def sort_table_by_key(t: Table, key: str = "key") -> Table:
     (their key is forced to I64_MAX; ties with real I64_MAX rows are
     resolved by stability — real rows first)."""
     k = jnp.where(t.valid_mask(), t.col(key), I64_MAX)
-    order = jnp.argsort(k, stable=True)
+    order = barrier(jnp.argsort(k, stable=True))
     cols = {key: k[order]}
     for name, col in t.columns.items():
         if name != key:
             cols[name] = col[order]
-    return Table(cols, t.num_rows)
+    return Table(barrier(cols), t.num_rows)
 
 
 def merge_join(r: Table, s: Table, out_capacity: int, key: str = "key") -> Table:
@@ -56,8 +56,8 @@ def merge_join(r: Table, s: Table, out_capacity: int, key: str = "key") -> Table
     upper = jnp.searchsorted(rk, sk, side="right").astype(jnp.int32)
     # Padding R rows sit at positions >= n_r with key I64_MAX: clamp the
     # range so real probes of I64_MAX don't match padding.
-    lower = jnp.minimum(lower, n_r)
-    upper = jnp.minimum(upper, n_r)
+    lower = barrier(jnp.minimum(lower, n_r))
+    upper = barrier(jnp.minimum(upper, n_r))
     counts = jnp.where(s.valid_mask(), upper - lower, 0)
 
     seg, rank, total, valid = expand_segments(counts, out_capacity)
