@@ -1,0 +1,59 @@
+"""Final hash_join bisect: is the pathology the derived-scalar valid_mask?"""
+import sys, time
+sys.path.insert(0, "/root/repo")
+import jax, jax.numpy as jnp
+import tpq
+from tpq import datagen, Table
+from tpq.ops.hash_join import _composite
+from tpq.ops._expand import expand_segments
+N = 1 << 20
+OUT = 1 << 21
+R = datagen.gen_relation(N, N, payloads=1, seed=7)
+S = datagen.gen_relation(N, N, payloads=1, seed=8)
+jax.block_until_ready((R.columns, S.columns))
+B = jax.lax.optimization_barrier
+
+def core(r, s, variant):
+    bits = 20
+    comp_r = B(_composite(r.col("key"), r.valid_mask(), bits))
+    order = B(jnp.argsort(comp_r, stable=True))
+    comp_sorted = comp_r[order]
+    r_cols = B({k: v[order] for k, v in r.columns.items()})
+    comp_s = B(_composite(s.col("key"), s.valid_mask(), bits))
+    lower = jnp.searchsorted(comp_sorted, comp_s, side="left").astype(jnp.int32)
+    upper = jnp.searchsorted(comp_sorted, comp_s, side="right").astype(jnp.int32)
+    lower = B(jnp.minimum(lower, r.num_rows))
+    upper = B(jnp.minimum(upper, r.num_rows))
+    counts = jnp.where(s.valid_mask(), upper - lower, 0)
+    seg, rank, total, valid = expand_segments(counts, OUT)
+    r_idx = jnp.minimum(lower[seg] + rank, r.capacity - 1)
+    rk = r_cols["key"][r_idx]
+    sk = s.col("key")[seg]
+    true_match = valid & (rk == sk)
+    cols = {"key": jnp.where(valid, sk, 0),
+            "r_p0": jnp.where(valid, r_cols["p0"][r_idx], 0),
+            "s_p0": jnp.where(valid, s.col("p0")[seg], 0)}
+    cols = B(cols)
+    if variant == "and_raw":        # valid_mask from derived scalar, unbarriered
+        nr = jnp.minimum(total, OUT)
+        keep = true_match & (jnp.arange(OUT) < nr)
+    elif variant == "and_barrier_scalar":  # barrier the scalar first
+        nr = B(jnp.minimum(total, OUT))
+        keep = true_match & (jnp.arange(OUT) < nr)
+    elif variant == "no_and":
+        keep = true_match
+    keys = B(jnp.where(keep, 0, 1).astype(jnp.uint8))
+    perm = B(jnp.argsort(keys, stable=True).astype(jnp.int32))
+    n_out = jnp.sum(keep, dtype=jnp.int32)
+    return Table({k: v[perm] for k, v in cols.items()}, n_out)
+
+def bench(name, fn, *args, reps=3):
+    f = jax.jit(fn)
+    t = time.time(); out = jax.block_until_ready(f(*args)); comp = time.time()-t
+    t = time.time()
+    for _ in range(reps): out = jax.block_until_ready(f(*args))
+    print(f"{name:26s} compile={comp:5.1f}s run={(time.time()-t)/reps*1e3:8.2f}ms rows={int(out.num_rows)}", flush=True)
+
+bench("no_and", lambda r, s: core(r, s, "no_and"), R, S)
+bench("and_raw", lambda r, s: core(r, s, "and_raw"), R, S)
+bench("and_barrier_scalar", lambda r, s: core(r, s, "and_barrier_scalar"), R, S)

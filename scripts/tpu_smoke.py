@@ -44,3 +44,18 @@ for name, fn, args in [("merge_join", mj, (R, S)), ("hash_join", hj, (R, S)),
     per = (time.time() - tr) / reps
     print(f"[{time.time()-t0:6.1f}s] {name}: rows={int(out.num_rows)} compile={compile_s:.1f}s run={per*1e3:.1f}ms ({N/per/1e6:.0f}M rows/s)", flush=True)
 print("SMOKE_OK", flush=True)
+
+# rh-impl join smoke (appended): the Pallas robin-hood path on the real chip
+import time as _t
+@jax.jit
+def hj_rh(r, s):
+    return hash_join(r, s, OUT_CAP, impl="rh")
+tc = _t.time()
+out = jax.block_until_ready(hj_rh(R, S))
+comp = _t.time() - tc
+tr = _t.time()
+for _ in range(3):
+    out = jax.block_until_ready(hj_rh(R, S))
+per = (_t.time() - tr) / 3
+print(f"[{_t.time()-t0:6.1f}s] hash_join_rh: rows={int(out.num_rows)} compile={comp:.1f}s run={per*1e3:.1f}ms ({N/per/1e6:.0f}M rows/s)", flush=True)
+print("SMOKE2_OK", flush=True)

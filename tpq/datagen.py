@@ -43,7 +43,16 @@ def _stream(seed: int, idx: np.ndarray) -> np.ndarray:
         return splitmix64(np.uint64(seed) ^ (idx.astype(np.uint64) * np.uint64(0xD1342543DE82EF95)))
 
 
+_NATIVE_THRESHOLD = 1 << 22  # below this numpy is fast enough
+
+
 def uniform_keys(rows: int, nkeys: int, seed: int) -> np.ndarray:
+    if rows >= _NATIVE_THRESHOLD:
+        from tpq import native
+
+        out = native.gen_uniform(rows, nkeys, seed)
+        if out is not None:
+            return out
     idx = np.arange(rows, dtype=np.uint64)
     r = _stream(seed, idx)
     return (r % np.uint64(nkeys)).astype(np.int64)
@@ -58,6 +67,12 @@ def zipf_cdf(nkeys: int, theta: float) -> np.ndarray:
 
 
 def zipf_keys(rows: int, nkeys: int, theta: float, seed: int) -> np.ndarray:
+    if rows >= _NATIVE_THRESHOLD:
+        from tpq import native
+
+        out = native.gen_zipf(rows, nkeys, theta, seed)
+        if out is not None:
+            return out
     cdf = zipf_cdf(nkeys, theta)
     total = cdf[-1]
     idx = np.arange(rows, dtype=np.uint64)
@@ -72,8 +87,19 @@ def zipf_keys(rows: int, nkeys: int, theta: float, seed: int) -> np.ndarray:
 
 def payload_cols(rows: int, ncols: int, seed: int) -> dict[str, np.ndarray]:
     out = {}
-    idx = np.arange(rows, dtype=np.uint64)
+    native_mod = None
+    if rows >= _NATIVE_THRESHOLD:
+        from tpq import native as native_mod
+
+    idx = None
     for j in range(ncols):
+        if native_mod is not None:
+            col = native_mod.gen_payload(rows, ncols, j, seed)
+            if col is not None:
+                out[f"p{j}"] = col
+                continue
+        if idx is None:
+            idx = np.arange(rows, dtype=np.uint64)
         with np.errstate(over="ignore"):
             r = _stream(seed ^ PAYLOAD_SALT, idx * np.uint64(ncols) + np.uint64(j))
         out[f"p{j}"] = (r >> np.uint64(1)).astype(np.int64)  # non-negative

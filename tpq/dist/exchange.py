@@ -35,6 +35,7 @@ def bucket_by_dest(table: Table, dest: jnp.ndarray, nbuckets: int, bucket_capaci
     """
     cap = table.capacity
     dest = jnp.where(table.valid_mask(), dest, nbuckets)  # pads to sentinel
+    dest = jax.lax.optimization_barrier(dest)  # keep producers out of the sort
     order = jnp.argsort(dest, stable=True)
     dest_sorted = dest[order]
     ones = (dest_sorted < nbuckets).astype(jnp.int32)

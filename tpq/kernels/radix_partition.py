@@ -85,7 +85,7 @@ def partition_padded(bucket: jnp.ndarray, npart: int, part_cap: int,
     a bucket (e.g. (slot, key) for the robin-hood layout)."""
     n = bucket.shape[0]
     idx = jnp.arange(n, dtype=I32)
-    operands = (bucket, *extra_keys, idx)
+    operands = jax.lax.optimization_barrier((bucket, *extra_keys)) + (idx,)
     sorted_ops = jax.lax.sort(operands, num_keys=1 + len(extra_keys), is_stable=True)
     bucket_s, idx_s = sorted_ops[0], sorted_ops[-1]
     starts = partition_starts(bucket_s, npart)

@@ -74,12 +74,20 @@ def plan_rh(r_capacity: int, s_capacity: int, target_part_rows: int = 8192,
     pbits = npart.bit_length() - 1
     part_rows = max(8, r_capacity // npart)
     part_cap = next_pow2(int(part_rows * build_slack))
-    table_cap = next_pow2(int(part_cap / load_factor / build_slack))
-    probe_cap = next_pow2(max(8, int(s_capacity // npart * probe_slack)))
-    probe_tile = min(probe_cap, 2048)
+    table_cap = max(128, next_pow2(int(part_cap / load_factor / build_slack)))
+    # Mosaic's dynamic_gather needs a BATCHED gather: indices shaped
+    # (8, W) against an (8, W) operand (the size-1-batch form lowers to an
+    # unbatched gather Mosaic rejects). One probe tile is therefore
+    # 8 sublane rows x W lanes = 8*W probes, where W = table_pad (table
+    # slots + 128-lane-aligned walk margin); the table row is broadcast
+    # across the 8 sublanes inside the kernel.
+    table_pad = table_cap + ((max_disp + 1 + 127) // 128) * 128
+    probe_tile = 8 * table_pad
+    probe_needed = max(128, int(s_capacity // npart * probe_slack))
+    probe_cap = ((probe_needed + probe_tile - 1) // probe_tile) * probe_tile
     return RHPlan(pbits=pbits, part_cap=part_cap,
                   table_bits=table_cap.bit_length() - 1,
-                  table_pad=table_cap + max_disp + 1,
+                  table_pad=table_pad,
                   probe_cap=probe_cap, probe_tile=probe_tile, max_disp=max_disp)
 
 
@@ -118,6 +126,9 @@ def build_rh_tables(r: Table, plan: RHPlan, key: str = "key") -> RHTables:
                        else jnp.zeros(cap, I32), npart)
     slot = hash_keys(rk, plan.table_bits, SALT_SLOT)
     idx = jnp.arange(cap, dtype=I32)
+    # barrier sort operands: a fused producer chain on a sort input
+    # serializes on TPU (see tpq/ops/_expand.py barrier docstring)
+    bucket, slot = jax.lax.optimization_barrier((bucket, slot))
     bucket_s, slot_s, key_s, idx_s = jax.lax.sort(
         (bucket, slot, rk, idx), num_keys=3, is_stable=True)
 
@@ -175,22 +186,35 @@ def build_rh_tables(r: Table, plan: RHPlan, key: str = "key") -> RHTables:
 # ---------------------------------------------------------------------------
 
 def _probe_kernel_factory(max_disp: int):
-    def kernel(tk_lo, tk_hi, tcnt, q_lo, q_hi, home, out_pos, out_cnt):
-        h = home[:]
-        ql = q_lo[:]
-        qh = q_hi[:]
+    # table refs are [1, 1, W] blocks; probe/out refs are [1, 8, W] blocks
+    # (8 sublanes x W lanes of probes per grid step).
+    def _probe_body(tk_lo, tk_hi, tcnt, q_lo, q_hi, home, out_pos, out_cnt):
+        h = home[0]  # (8, W)
+        ql = q_lo[0]
+        qh = q_hi[0]
+        rows = h.shape[0]
+        tab_lo = jnp.broadcast_to(tk_lo[0], (rows, tk_lo.shape[2]))
+        tab_hi = jnp.broadcast_to(tk_hi[0], (rows, tk_hi.shape[2]))
+        tab_c = jnp.broadcast_to(tcnt[0], (rows, tcnt.shape[2]))
         pos = jnp.full(h.shape, -1, I32)
         cnt = jnp.zeros(h.shape, I32)
         for d in range(max_disp):
             t = h + d
-            kl = jnp.take_along_axis(tk_lo[:], t, axis=1)
-            kh = jnp.take_along_axis(tk_hi[:], t, axis=1)
-            c = jnp.take_along_axis(tcnt[:], t, axis=1)
+            kl = jnp.take_along_axis(tab_lo, t, axis=1)
+            kh = jnp.take_along_axis(tab_hi, t, axis=1)
+            c = jnp.take_along_axis(tab_c, t, axis=1)
             m = (kl == ql) & (kh == qh) & (c > 0) & (pos < 0)
             pos = jnp.where(m, t, pos)
             cnt = jnp.where(m, c, cnt)
-        out_pos[:] = pos
-        out_cnt[:] = cnt
+        out_pos[0] = pos
+        out_cnt[0] = cnt
+
+    def kernel(tk_lo, tk_hi, tcnt, q_lo, q_hi, home, out_pos, out_cnt):
+        # x64 is enabled package-wide (int64 keys at the boundary), but
+        # Mosaic has no 64-bit vectors: trace this kernel with x64 off so
+        # take_along_axis builds int32 gather indices. All planes are i32.
+        with jax.enable_x64(False):
+            _probe_body(tk_lo, tk_hi, tcnt, q_lo, q_hi, home, out_pos, out_cnt)
 
     return kernel
 
@@ -210,6 +234,7 @@ def probe_rh_tables(tables: RHTables, s: Table, key: str = "key",
     bucket = jnp.where(valid, hash_keys(sk, plan.pbits, SALT_PART) if plan.pbits > 0
                        else jnp.zeros(cap, I32), npart)
     idx = jnp.arange(cap, dtype=I32)
+    bucket = jax.lax.optimization_barrier(bucket)
     bucket_s, idx_s = jax.lax.sort((bucket, idx), num_keys=1, is_stable=True)
     starts = _partition_starts(bucket_s, npart)
     part_len = starts[1:] - starts[:-1]
@@ -220,20 +245,31 @@ def probe_rh_tables(tables: RHTables, s: Table, key: str = "key",
     lo, hi = split_i64(key2d)
     home2d = hash_keys(key2d, plan.table_bits, SALT_SLOT)
 
-    grid = (npart, probe_cap // plan.probe_tile)
-    tspec = pl.BlockSpec((1, plan.table_pad), lambda p, t: (p, 0),
+    w = plan.table_pad
+    probe_rows = probe_cap // w  # total 8-sublane rows per partition
+    grid = (npart, probe_rows // 8)
+    tspec = pl.BlockSpec((1, 1, w), lambda p, t: (p, 0, 0),
                          memory_space=pltpu.VMEM)
-    pspec = pl.BlockSpec((1, plan.probe_tile), lambda p, t: (p, t),
+    pspec = pl.BlockSpec((1, 8, w), lambda p, t: (p, t, 0),
                          memory_space=pltpu.VMEM)
+
+    def _t3(x):  # table planes [npart, w] -> [npart, 1, w]
+        return x.reshape(x.shape[0], 1, x.shape[1])
+
+    def _p3(x):  # probe planes [npart, probe_cap] -> [npart, rows, w]
+        return x.reshape(x.shape[0], probe_rows, w)
+
     pos, cnt = pl.pallas_call(
         _probe_kernel_factory(plan.max_disp),
         grid=grid,
         in_specs=[tspec, tspec, tspec, pspec, pspec, pspec],
         out_specs=[pspec, pspec],
-        out_shape=[jax.ShapeDtypeStruct((npart, probe_cap), I32)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((npart, probe_rows, w), I32)] * 2,
         interpret=interpret,
-    )(tables.t_key_lo, tables.t_key_hi, tables.t_count,
-      lo.astype(I32), hi.astype(I32), home2d)
+    )(_t3(tables.t_key_lo), _t3(tables.t_key_hi), _t3(tables.t_count),
+      _p3(lo.astype(I32)), _p3(hi.astype(I32)), _p3(home2d))
+    pos = pos.reshape(npart, probe_cap)
+    cnt = cnt.reshape(npart, probe_cap)
 
     ok = tables.ok & (~overflow_probe)
     return pos, cnt, rowid2d, valid2d, ok
@@ -254,6 +290,15 @@ def rh_hash_join(r: Table, s: Table, out_capacity: int, key: str = "key",
         plan = plan_rh(r.capacity, s.capacity)
     # CPU backend (tests / 8-device sim) only supports Pallas interpret mode
     interpret = interpret or jax.default_backend() == "cpu"
+    if not interpret and plan.table_pad > 128:
+        # Mosaic's tpu.dynamic_gather cannot cross a 128-lane vreg
+        # ("Multiple source vregs along gather dimension", measured on
+        # v5e) — VMEM tables wider than one vreg cannot be probed with
+        # the current kernel. Until the vreg-local bucket redesign
+        # (home-lane-aligned probes + static rolls + sublane gather)
+        # lands, compiled-TPU execution routes to the sorted impl, which
+        # is the measured-fast path anyway (scripts/tpu_ops_bench.py).
+        return hash_join(r, s, out_capacity, key=key, impl="sorted")
 
     tables = build_rh_tables(r, plan, key)
     pos, cnt, s_rowid2d, s_valid2d, ok = probe_rh_tables(tables, s, key, interpret)

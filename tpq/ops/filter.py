@@ -34,7 +34,12 @@ def compact_indices(keep: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     Returns (perm, n_kept)."""
     from tpq.ops._expand import barrier
 
-    perm = jnp.argsort(jnp.where(keep, 0, 1).astype(jnp.uint8), stable=True)
+    # barrier BEFORE the sort: if the key's producer chain (often ending in
+    # an arange < traced-scalar compare) fuses into the sort input, XLA:TPU
+    # emits a serialized megafusion — measured 1955 ms vs 0.23 ms on the 1M
+    # join for this one edge (scripts/tpu_bisect2.py v1 vs v2).
+    keys = barrier(jnp.where(keep, 0, 1).astype(jnp.uint8))
+    perm = jnp.argsort(keys, stable=True)
     return barrier(perm.astype(jnp.int32)), jnp.sum(keep, dtype=jnp.int32)
 
 

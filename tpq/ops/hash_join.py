@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from tpq.columnar import Table
 from tpq.hashing import hash_keys
-from tpq.ops._expand import barrier, expand_segments
+from tpq.ops._expand import barrier, expand_segments, searchsorted
 from tpq.ops.filter import compact
 
 I64_MAX = jnp.iinfo(jnp.int64).max
@@ -71,8 +71,8 @@ def hash_join(
     r_sorted = Table(barrier(dict(r.gather(order, r.num_rows).columns)), r.num_rows)
 
     comp_s = barrier(_composite(s.col(key), s.valid_mask(), bits))
-    lower = jnp.searchsorted(comp_sorted, comp_s, side="left").astype(jnp.int32)
-    upper = jnp.searchsorted(comp_sorted, comp_s, side="right").astype(jnp.int32)
+    lower = searchsorted(comp_sorted, comp_s, side="left").astype(jnp.int32)
+    upper = searchsorted(comp_sorted, comp_s, side="right").astype(jnp.int32)
     lower = barrier(jnp.minimum(lower, r.num_rows))
     upper = barrier(jnp.minimum(upper, r.num_rows))
     counts = jnp.where(s.valid_mask(), upper - lower, 0)

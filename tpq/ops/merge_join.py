@@ -26,7 +26,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from tpq.columnar import Table
-from tpq.ops._expand import barrier, expand_segments
+from tpq.ops._expand import barrier, expand_segments, searchsorted
 
 I64_MAX = jnp.iinfo(jnp.int64).max
 
@@ -35,7 +35,7 @@ def sort_table_by_key(t: Table, key: str = "key") -> Table:
     """Stable co-sort of all columns by `key`; padding rows sort last
     (their key is forced to I64_MAX; ties with real I64_MAX rows are
     resolved by stability — real rows first)."""
-    k = jnp.where(t.valid_mask(), t.col(key), I64_MAX)
+    k = barrier(jnp.where(t.valid_mask(), t.col(key), I64_MAX))
     order = barrier(jnp.argsort(k, stable=True))
     cols = {key: k[order]}
     for name, col in t.columns.items():
@@ -52,8 +52,8 @@ def merge_join(r: Table, s: Table, out_capacity: int, key: str = "key") -> Table
     rk = r_sorted.col(key)
 
     sk = s.col(key)
-    lower = jnp.searchsorted(rk, sk, side="left").astype(jnp.int32)
-    upper = jnp.searchsorted(rk, sk, side="right").astype(jnp.int32)
+    lower = searchsorted(rk, sk, side="left").astype(jnp.int32)
+    upper = searchsorted(rk, sk, side="right").astype(jnp.int32)
     # Padding R rows sit at positions >= n_r with key I64_MAX: clamp the
     # range so real probes of I64_MAX don't match padding.
     lower = barrier(jnp.minimum(lower, n_r))
