@@ -63,9 +63,11 @@ def test_dist_join_zipf_skew_correct(oracle, tmp_path):
     colio.dump(str(pr), r)
     colio.dump(str(ps), s)
     oracle("join", algo="hash", left=pr, right=ps, out=po)
+    # shard owning zipf keys 0+1 emits ~145k join rows (325*339 + 168*175 +
+    # ...) — needs 1<<18 output capacity; 1<<17 correctly trips overflow.
     R = DistTable.from_numpy(r, mesh, local_capacity=4096)
     S = DistTable.from_numpy(s, mesh, local_capacity=4096)
-    out, overflow = dist_hash_join(R, S, mesh, out_capacity_per_shard=1 << 17,
+    out, overflow = dist_hash_join(R, S, mesh, out_capacity_per_shard=1 << 18,
                                    exchange_capacity=4096)
     assert int(np.asarray(overflow).sum()) == 0
     assert_tables_equal(_canon_np(out.to_numpy()), colio.load(str(po)), "dist_zipf")

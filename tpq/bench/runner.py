@@ -12,8 +12,6 @@ CLI:  python -m tpq.bench.runner --config=single_chip_1m [--algo=...]
 
 from __future__ import annotations
 
-import time
-
 import jax
 import numpy as np
 
@@ -41,13 +39,16 @@ def out_capacity_for(cfg: BenchConfig) -> int:
 
 
 def time_fn(fn, args, warmup: int, iters: int) -> tuple[float, object]:
-    out = None
-    for _ in range(max(1, warmup)):
-        out = jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = jax.block_until_ready(fn(*args))
-    return (time.perf_counter() - t0) / iters, out
+    """Per-execution seconds via the slope method (tpq/bench/timing.py):
+    block_until_ready alone returns early over the axon tunnel, so naive
+    per-call timing reports dispatch latency, not device time."""
+    from tpq.bench.timing import force_sync, slope_time
+
+    counts = tuple(sorted({1, 2, max(4, iters // 2), max(8, iters)}))
+    sec, _ = slope_time(fn, args, counts=counts, reps=max(1, min(warmup, 2)))
+    out = fn(*args)
+    force_sync(out)
+    return sec, out
 
 
 def run_config(cfg: BenchConfig, hbm_bw: float | None = None, trace_dir: str | None = None) -> dict:
