@@ -62,6 +62,15 @@ def hash_join(
     if impl != "sorted":
         raise ValueError(f"unknown impl {impl!r}")
 
+    from tpq.ops.union_join import union_join
+
+    return union_join(r, s, out_capacity, key=key)
+
+
+def _legacy_sorted_hash_join(r, s, out_capacity, key="key", bits=None):
+    """Pre-union-sort implementation (searchsorted + gathers). Kept as a
+    differential-test twin; ~50x slower on TPU (gather-bound, see
+    tpq/ops/union_join.py module docstring)."""
     if bits is None:
         bits = max(1, min(30, (r.capacity - 1).bit_length()))
 

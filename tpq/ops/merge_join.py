@@ -46,7 +46,19 @@ def sort_table_by_key(t: Table, key: str = "key") -> Table:
 
 def merge_join(r: Table, s: Table, out_capacity: int, key: str = "key") -> Table:
     """Inner equi-join R ⋈ S on `key`. Returns Table with static capacity
-    `out_capacity`; .num_rows is the true match count (check overflow)."""
+    `out_capacity`; .num_rows is the true match count (check overflow).
+
+    Realized by the gather-free union-sort engine (tpq/ops/union_join.py):
+    the union sort IS the merge (both relations co-sorted by key), emission
+    is scan-based. This module keeps the legacy searchsorted variant below
+    as a differential-test twin."""
+    from tpq.ops.union_join import union_join
+
+    return union_join(r, s, out_capacity, key=key)
+
+
+def _legacy_merge_join(r: Table, s: Table, out_capacity: int, key: str = "key") -> Table:
+    """Pre-union-sort implementation (searchsorted + gathers)."""
     n_r, n_s = r.num_rows, s.num_rows
     r_sorted = sort_table_by_key(r, key)
     rk = r_sorted.col(key)
