@@ -223,10 +223,14 @@ def union_join(
             return vout, tp
 
         def no_tail(_):
-            z = jnp.zeros(tail_out_cap, jnp.uint32)
+            # Under shard_map, cond branches must agree on varying-axis types;
+            # derive the zeros from a shard-varying input so this branch
+            # matches `tail` (which reads the sorted shard data).
+            vz = (side_s[0] * 0).astype(jnp.uint32)
+            z = jnp.zeros(tail_out_cap, jnp.uint32) + vz
             tp = {n: tuple(z for _ in col_planes(jnp.zeros(1, dt)))
                   for n, dt in zip(out_names, out_dtypes)}
-            return jnp.zeros(tail_out_cap, bool), tp
+            return z != 0, tp
 
         t_vout, t_planes = jax.lax.cond(tail_out64 > 0, tail, no_tail, operand=None)
 
