@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import Callable
 
+import jax
 import jax.numpy as jnp
 
 from tpq.columnar import Table
@@ -44,10 +45,31 @@ def compact_indices(keep: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
 
 
 def compact(t: Table, keep: jnp.ndarray) -> Table:
-    """Keep rows where `keep` (bool[capacity]); stable order."""
+    """Keep rows where `keep` (bool[capacity]); stable order.
+
+    ONE multi-operand stable sort by the keep flag, carrying every column
+    as 32-bit planes — the sort applies the permutation to the data
+    directly. The earlier argsort+gather form cost 16 ms/M row in the
+    gathers alone (scripts/tpu_phase_bench.py) vs ~2 ms/M for the sort."""
+    from tpq.ops._expand import barrier
+    from tpq.ops.union_join import col_planes, planes_col
+
     keep = keep & t.valid_mask()
-    perm, n_out = compact_indices(keep)
-    cols = {name: col[perm] for name, col in t.columns.items()}
+    flag = barrier(jnp.where(keep, 0, 1).astype(jnp.uint8))
+    names = list(t.names)
+    layout: list[tuple[str, int]] = []
+    flat: list[jnp.ndarray] = []
+    for name in names:
+        ps = col_planes(t.col(name))
+        layout.append((name, len(ps)))
+        flat += list(ps)
+    res = jax.lax.sort((flag, *flat), num_keys=1, is_stable=True)
+    n_out = jnp.sum(keep, dtype=jnp.int32)
+    cols, pos = {}, 1
+    for name, cnt in layout:
+        cols[name] = planes_col(tuple(res[pos + j] for j in range(cnt)),
+                                t.col(name).dtype)
+        pos += cnt
     return Table(cols, n_out)
 
 

@@ -3,25 +3,36 @@
 count/sum)"; oracle twin: oracle/main.cc aggregate()).
 
 TPU realization (sort path, always available): co-sort by key, then
-segment sums as *cumsum differences at group boundaries* — cumsum, two
-gathers, zero scatters (XLA:TPU executes general scatter/segment_sum
-serially; measured in scripts/tpu_smoke.py). The robin-hood
-accumulate-on-hit table path (tpq/kernels/rh_table.py) reuses this as its
-differential-test reference.
+compute every per-group statistic AT RUN-END POSITIONS with scans only —
+zero gathers, zero scatters (XLA:TPU executes general gather/scatter
+near-serially: 16 ms per 1M-row gather, scripts/tpu_phase_bench.py):
+
+  * run starts by neighbor compare; run start index rs by cummax;
+  * count at an end position = i - rs + 1;
+  * sum over the run = c[i] - B, where c is the inclusive cumsum and B is
+    a fill-forward (associative scan) of "cumsum just before my run's
+    start" sampled at run starts;
+  * one multi-operand stable sort by the is-end flag compacts group rows
+    to the front, carrying key/count/sums as 32-bit planes.
 
 Sums are wrapping int64 (associative-safe — no float reorder
 nondeterminism, SURVEY.md §4.4.4). Output columns: key, count,
 sum_<payload>... in input payload order; groups emitted in ascending key
-order (canonical already).
+order (canonical already — the flag sort is stable).
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from tpq.columnar import Table
-from tpq.ops.filter import compact_indices
+from tpq.ops._expand import barrier
 from tpq.ops.merge_join import sort_table_by_key
+from tpq.ops.union_join import col_planes, fill_forward, planes_col
+
+I32 = jnp.int32
+I64 = jnp.int64
 
 
 def hash_aggregate(t: Table, key: str = "key") -> Table:
@@ -31,30 +42,49 @@ def hash_aggregate(t: Table, key: str = "key") -> Table:
     ts = sort_table_by_key(t, key)
     k = ts.col(key)
     valid = ts.valid_mask()
-    n = t.num_rows
+    i = jnp.arange(cap, dtype=I32)
 
-    from tpq.ops._expand import barrier
+    is_start = valid & jnp.concatenate([jnp.ones(1, bool), k[1:] != k[:-1]])
+    # a run ends where the next row starts a new run, is padding, or at cap-1
+    nxt_new = jnp.concatenate([is_start[1:] | ~valid[1:], jnp.ones(1, bool)])
+    is_end = valid & nxt_new
+    rs = jax.lax.cummax(jnp.where(is_start, i, -1))  # my run's start index
 
-    is_start = valid & jnp.concatenate(
-        [jnp.ones(1, bool), k[1:] != k[:-1]]
-    )
-    # stable front-compaction of group-start positions
-    perm, n_groups = compact_indices(barrier(is_start))
-    starts = perm  # starts[g] = row index of group g's first row, for g < n_groups
-    g_idx = jnp.arange(cap, dtype=jnp.int32)
-    is_real = g_idx < n_groups
-    # group g spans [starts[g], ends[g]] inclusive; last group ends at n-1
-    next_start = jnp.where(g_idx + 1 < n_groups, starts[jnp.minimum(g_idx + 1, cap - 1)], n)
-    ends = jnp.maximum(next_start - 1, 0)
-    starts_c = jnp.minimum(starts, cap - 1)
+    # per-column sums at end positions: c[i] - (cumsum just before run start)
+    names = [n for n in ts.names if n != key]
+    cums = []
+    for n in names:
+        v = jnp.where(valid, ts.col(n), 0).astype(I64)
+        cums.append(jnp.cumsum(v))
+    pre_planes: list[jnp.ndarray] = []  # c shifted right by 1, as u32 planes
+    for c in cums:
+        shifted = jnp.concatenate([jnp.zeros(1, I64), c[:-1]])
+        pre_planes += list(col_planes(shifted))
+    filled = fill_forward(is_start, pre_planes) if pre_planes else []
 
-    cols = {key: jnp.where(is_real, k[starts_c], 0)}
-    ones_cum = jnp.cumsum(valid.astype(jnp.int64))
-    # inclusive-cumsum segment sum over [s, e]: c[e] - c[s] + v[s]
-    cols["count"] = jnp.where(is_real, ones_cum[ends] - ones_cum[starts_c] + 1, 0)
-    for name, col in ts.columns.items():
-        if name != key:
-            v = jnp.where(valid, col, 0)
-            c = jnp.cumsum(v)
-            cols[f"sum_{name}"] = jnp.where(is_real, c[ends] - c[starts_c] + v[starts_c], 0)
+    out_cols: dict[str, jnp.ndarray] = {}
+    out_cols[key] = jnp.where(is_end, k, 0)
+    out_cols["count"] = jnp.where(is_end, (i - rs + 1).astype(I64), 0)
+    for j, n in enumerate(names):
+        base = planes_col(tuple(filled[2 * j: 2 * j + 2]), I64)
+        out_cols[f"sum_{n}"] = jnp.where(is_end, cums[j] - base, 0)
+
+    # compact group rows (at end positions) to the front: one stable flag
+    # sort carrying all output columns as planes
+    flag = barrier(jnp.where(is_end, 0, 1).astype(jnp.uint8))
+    layout: list[tuple[str, int]] = []
+    flat: list[jnp.ndarray] = []
+    for n, col in out_cols.items():
+        ps = col_planes(col)
+        layout.append((n, len(ps)))
+        flat += list(ps)
+    res = jax.lax.sort((flag, *flat), num_keys=1, is_stable=True)
+    n_groups = jnp.sum(is_end, dtype=I32)
+    cols, pos = {}, 1
+    for n, cnt in layout:
+        cols[n] = planes_col(tuple(res[pos + j] for j in range(cnt)),
+                             out_cols[n].dtype)
+        pos += cnt
+    live = i < n_groups
+    cols = {n: jnp.where(live, c, 0) for n, c in cols.items()}
     return Table(cols, n_groups)

@@ -32,16 +32,32 @@ I64_MAX = jnp.iinfo(jnp.int64).max
 
 
 def sort_table_by_key(t: Table, key: str = "key") -> Table:
-    """Stable co-sort of all columns by `key`; padding rows sort last
-    (their key is forced to I64_MAX; ties with real I64_MAX rows are
-    resolved by stability — real rows first)."""
-    k = barrier(jnp.where(t.valid_mask(), t.col(key), I64_MAX))
-    order = barrier(jnp.argsort(k, stable=True))
-    cols = {key: k[order]}
-    for name, col in t.columns.items():
-        if name != key:
-            cols[name] = col[order]
-    return Table(barrier(cols), t.num_rows)
+    """Stable co-sort of all columns by `key`; padding rows sort last.
+
+    ONE multi-operand stable sort with (invalid, key) as sort keys and all
+    other columns carried as 32-bit planes — the sort applies the
+    permutation to the data; no argsort+gather (gathers cost 16 ms/M on
+    TPU, scripts/tpu_phase_bench.py). No sentinel keys: padding is ordered
+    by the explicit invalid plane, so I64_MAX is an ordinary key value."""
+    import jax
+
+    from tpq.ops.union_join import col_planes, planes_col
+
+    inv = barrier((~t.valid_mask()).astype(jnp.int32))
+    names = [n for n in t.names if n != key]
+    layout: list[tuple[str, int]] = []
+    flat: list[jnp.ndarray] = []
+    for name in names:
+        ps = col_planes(t.col(name))
+        layout.append((name, len(ps)))
+        flat += list(ps)
+    res = jax.lax.sort((inv, t.col(key), *flat), num_keys=2, is_stable=True)
+    cols, pos = {key: res[1]}, 2
+    for name, cnt in layout:
+        cols[name] = planes_col(tuple(res[pos + j] for j in range(cnt)),
+                                t.col(name).dtype)
+        pos += cnt
+    return Table(cols, t.num_rows)
 
 
 def merge_join(r: Table, s: Table, out_capacity: int, key: str = "key") -> Table:
@@ -61,7 +77,10 @@ def _legacy_merge_join(r: Table, s: Table, out_capacity: int, key: str = "key") 
     """Pre-union-sort implementation (searchsorted + gathers)."""
     n_r, n_s = r.num_rows, s.num_rows
     r_sorted = sort_table_by_key(r, key)
-    rk = r_sorted.col(key)
+    # searchsorted needs a globally sorted array: padding rows (now carrying
+    # their original keys, ordered after valid rows) are forced to I64_MAX.
+    rk = jnp.where(jnp.arange(r_sorted.capacity) < n_r,
+                   r_sorted.col(key), I64_MAX)
 
     sk = s.col(key)
     lower = searchsorted(rk, sk, side="left").astype(jnp.int32)
