@@ -50,7 +50,7 @@ inline void colio_dump(const std::string& path, const Tab& t) {
     uint64_t nrows = c.data.size();
     fwrite(&code, 4, 1, f);
     fwrite(&nrows, 8, 1, f);
-    fwrite(c.data.data(), 8, nrows, f);
+    if (nrows) fwrite(c.data.data(), 8, nrows, f);  // empty vec may hold null
   }
   fclose(f);
 }

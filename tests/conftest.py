@@ -50,8 +50,12 @@ def oracle_bin() -> Path:
     if ORACLE_BIN.exists() and all(ORACLE_BIN.stat().st_mtime > f.stat().st_mtime for f in src):
         return ORACLE_BIN
     ORACLE_BIN.parent.mkdir(parents=True, exist_ok=True)
+    # The oracle is the ground truth: build it paranoid (SURVEY.md §5.2) —
+    # ASan+UBSan with no recovery, still -O2 so slow tests stay fast.
     subprocess.run(
-        ["g++", "-std=c++17", "-O2", "-Wall", "-o", str(ORACLE_BIN), str(REPO / "oracle" / "main.cc")],
+        ["g++", "-std=c++17", "-O2", "-Wall",
+         "-fsanitize=address,undefined", "-fno-sanitize-recover=all",
+         "-o", str(ORACLE_BIN), str(REPO / "oracle" / "main.cc")],
         check=True,
     )
     return ORACLE_BIN

@@ -1,0 +1,51 @@
+"""Capacity renegotiation (SURVEY.md §5.3): overflow is detected AND
+resolved — the wrapper re-runs at a larger static capacity and returns the
+full result."""
+
+import numpy as np
+
+from tpq import Table
+from tpq.columnar import canonicalize
+from tpq import colio, datagen
+from tpq.ops import hash_join
+from tpq.ops.renegotiate import run_renegotiated
+
+from conftest import assert_tables_equal
+
+
+def test_renegotiate_grows_to_fit(oracle, tmp_path):
+    # 64x32 all-equal keys -> 2048 output rows; start at capacity 64.
+    r = {"key": np.zeros(64, dtype=np.int64), "p0": np.arange(64, dtype=np.int64)}
+    s = {"key": np.zeros(32, dtype=np.int64), "p0": np.arange(32, dtype=np.int64)}
+    pr, ps, po = tmp_path / "r.tpqc", tmp_path / "s.tpqc", tmp_path / "o.tpqc"
+    colio.dump(str(pr), r)
+    colio.dump(str(ps), s)
+    oracle("join", algo="hash", left=pr, right=ps, out=po)
+    expected = colio.load(str(po))
+
+    calls = []
+
+    def make(cap):
+        calls.append(cap)
+        return lambda a, b: hash_join(a, b, cap)
+
+    out = run_renegotiated(make, (Table.from_numpy(r), Table.from_numpy(s)),
+                           out_capacity=64)
+    assert int(out.num_rows) == 2048
+    assert len(calls) >= 2 and calls[-1] >= 2048, calls
+    assert_tables_equal(canonicalize(out), expected, "renegotiated")
+
+
+def test_renegotiate_no_retry_when_fits(oracle, tmp_path):
+    r = datagen.gen_relation_np(500, 400, payloads=1, seed=3)
+    s = datagen.gen_relation_np(700, 400, payloads=1, seed=4)
+    calls = []
+
+    def make(cap):
+        calls.append(cap)
+        return lambda a, b: hash_join(a, b, cap)
+
+    out = run_renegotiated(make, (Table.from_numpy(r), Table.from_numpy(s)),
+                           out_capacity=1 << 13)
+    assert len(calls) == 1
+    assert int(out.num_rows) <= 1 << 13

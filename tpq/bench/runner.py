@@ -111,6 +111,12 @@ def main(argv=None):
     p.add_argument("--trace-dir", default=None)
     p.add_argument("--json-out", default=None)
     p.add_argument("--log-jsonl", default=None)
+    p.add_argument("--check", default=None, metavar="BASELINE_JSON",
+                   help="perf-regression mode (SURVEY.md §4.5): compare "
+                        "rows_per_sec per op against a stored report; exit 1 "
+                        "on regression beyond --tolerance")
+    p.add_argument("--tolerance", type=float, default=0.25,
+                   help="allowed fractional slowdown in --check mode")
     args = p.parse_args(argv)
 
     cfg = PRESETS[args.config]
@@ -132,6 +138,27 @@ def main(argv=None):
                          ["op", "elapsed_ms", "sol_ms", "roofline_pct", "rows_per_sec"]))
     if args.json_out:
         emit_json(args.json_out, report)
+    if args.check:
+        import json
+        import sys
+
+        with open(args.check) as f:
+            base = json.load(f)
+        base_ops = {op["op"]: op for op in base.get("ops", [])}
+        failed = []
+        for op in report["ops"]:
+            ref = base_ops.get(op["op"])
+            if ref is None:
+                continue
+            floor = ref["rows_per_sec"] * (1.0 - args.tolerance)
+            status = "OK" if op["rows_per_sec"] >= floor else "REGRESSED"
+            print(f"check {op['op']}: {op['rows_per_sec']:.3e} rows/s vs "
+                  f"baseline {ref['rows_per_sec']:.3e} (floor {floor:.3e}) {status}")
+            if status != "OK":
+                failed.append(op["op"])
+        if failed:
+            print(f"perf regression in: {', '.join(failed)}", file=sys.stderr)
+            sys.exit(1)
     return report
 
 
