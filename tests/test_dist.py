@@ -27,7 +27,7 @@ def _canon_np(cols: dict) -> dict:
 
 
 @requires_multidevice
-@pytest.mark.parametrize("exchange_impl", ["dense", "ragged"])
+@pytest.mark.parametrize("exchange_impl", ["dense", "ragged", "ring"])
 @pytest.mark.parametrize("algo", ["hash", "merge"])
 def test_dist_join_matches_oracle(oracle, tmp_path, algo, exchange_impl):
     if exchange_impl == "ragged" and jax.default_backend() == "cpu":
@@ -71,6 +71,43 @@ def test_dist_join_zipf_skew_correct(oracle, tmp_path):
                                    exchange_capacity=4096)
     assert int(np.asarray(overflow).sum()) == 0
     assert_tables_equal(_canon_np(out.to_numpy()), colio.load(str(po)), "dist_zipf")
+
+
+@requires_multidevice
+def test_ring_exchange_equals_dense():
+    """Rung 3 (ppermute ring) delivers exactly the rows rung 2 does —
+    same multiset per destination shard."""
+    from functools import partial
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tpq.dist.exchange import exchange
+    from tpq.dist.mesh import AXIS, owner_of
+
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(7)
+    n, cap = 4096, 512
+    cols = {"key": rng.integers(0, 1 << 40, size=n).astype(np.int64),
+            "p0": rng.integers(0, 1 << 30, size=n).astype(np.int64)}
+    T = DistTable.from_numpy(cols, mesh)
+
+    def run(impl):
+        @partial(shard_map, mesh=mesh,
+                 in_specs=({k: P(AXIS) for k in cols}, P(AXIS)),
+                 out_specs=({k: P(AXIS) for k in cols}, P(AXIS), P(AXIS)))
+        def body(c, nrows):
+            t = Table(c, nrows[0])
+            recv, ovf = exchange(t, owner_of(t.col("key"), 8), AXIS, 8, cap,
+                                 impl=impl)
+            recv = recv.with_capacity(8 * cap)
+            return dict(recv.columns), recv.num_rows[None].astype(np.int32), ovf[None]
+
+        c, nrows, ovf = body(T.columns, T.shard_rows)
+        assert int(np.asarray(ovf).sum()) == 0
+        return DistTable(c, nrows).to_numpy()
+
+    dense, ring = run("dense"), run("ring")
+    assert_tables_equal(_canon_np(dense), _canon_np(ring), "ring_vs_dense")
 
 
 @requires_multidevice

@@ -111,6 +111,14 @@ def main(argv=None):
     p.add_argument("--trace-dir", default=None)
     p.add_argument("--json-out", default=None)
     p.add_argument("--log-jsonl", default=None)
+    p.add_argument("--scaling", default=None, metavar="N1,N2,...",
+                   help="weak-scaling mode: run dist_hash_join at these mesh "
+                        "sizes (per-chip rows fixed) and print rows/s/chip + "
+                        "efficiency; other config flags are ignored")
+    p.add_argument("--rows-per-chip", type=int, default=1 << 16)
+    p.add_argument("--exchange", default="dense",
+                   choices=["dense", "ragged", "ring"])
+    p.add_argument("--n-chunks", type=int, default=1)
     p.add_argument("--check", default=None, metavar="BASELINE_JSON",
                    help="perf-regression mode (SURVEY.md §4.5): compare "
                         "rows_per_sec per op against a stored report; exit 1 "
@@ -118,6 +126,22 @@ def main(argv=None):
     p.add_argument("--tolerance", type=float, default=0.25,
                    help="allowed fractional slowdown in --check mode")
     args = p.parse_args(argv)
+
+    if args.scaling:
+        from tpq.bench.scaling import run_weak_scaling
+        from tpq.dist import multihost
+
+        multihost.init()  # no-op single-process; wires a pod slice if env set
+        sizes = tuple(int(x) for x in args.scaling.split(","))
+        rows = run_weak_scaling(rows_per_chip=args.rows_per_chip,
+                                mesh_sizes=sizes,
+                                exchange_impl=args.exchange,
+                                n_chunks=args.n_chunks)
+        print(markdown_table(rows, ["n_chips", "rows_total", "elapsed_ms",
+                                    "rows_per_sec_per_chip", "efficiency"]))
+        if args.json_out:
+            emit_json(args.json_out, {"scaling": rows})
+        return {"scaling": rows}
 
     cfg = PRESETS[args.config]
     from dataclasses import replace

@@ -23,7 +23,7 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tpq.columnar import Table, next_pow2
-from tpq.dist.exchange import exchange
+from tpq.dist.exchange import exchange, ring_hops
 from tpq.dist.mesh import AXIS, owner_of
 from tpq.dist.overlap import chunk_table, concat_tables
 from tpq.dist.skew import detect_heavy_keys, is_key_in, replicate_rows
@@ -154,25 +154,39 @@ def dist_hash_join(
         # light path: hash exchange (heavy rows diverted out of the buckets)
         dest_r = jnp.where(r_heavy, nchips, owner_of(R.col(key), nchips))
         dest_s = jnp.where(s_heavy, nchips, owner_of(S.col(key), nchips))
-        R2, r_ovf = exchange(R, dest_r, AXIS, nchips, ex_cap, impl=exchange_impl)
+        R2, r_ovf = exchange(R, dest_r, AXIS, nchips, ex_cap,
+                             impl="dense" if exchange_impl == "ring" else exchange_impl)
         overflow += r_ovf
 
-        chunk_cap = out_capacity_per_shard // n_chunks
-        s_chunks = chunk_table(S, n_chunks) if n_chunks > 1 else [S]
-        dest_chunks = chunk_table(Table({"d": dest_s}, S.num_rows), n_chunks) \
-            if n_chunks > 1 else [Table({"d": dest_s}, S.num_rows)]
         outs = []
-        for Sc, Dc in zip(s_chunks, dest_chunks):
-            # chunked exchanges are mutually independent: XLA overlaps
-            # chunk i+1's all-to-all with chunk i's probe (D3).
-            dc = jnp.where(jnp.arange(Sc.capacity) < Sc.num_rows, Dc.col("d"), nchips)
-            S2, s_ovf = exchange(Sc, dc, AXIS, nchips, ex_cap, impl=exchange_impl)
-            overflow += s_ovf
-            out_c = _local_join(algo, R2, S2,
-                                chunk_cap if n_chunks > 1 else out_capacity_per_shard, key)
-            overflow += (out_c.num_rows > out_c.capacity).astype(jnp.int32)
-            out_c = Table(out_c.columns, jnp.minimum(out_c.num_rows, out_c.capacity))
-            outs.append(out_c)
+        if exchange_impl == "ring":
+            # Hop-pipelined ring (D3 proper): S arrives one ring hop at a
+            # time; hop t's ppermute is independent of hop t-1's local
+            # join, so XLA's async collectives overlap wire and probe.
+            hop_cap = next_pow2(max(128, 2 * out_capacity_per_shard // nchips))
+            dc = jnp.where(S.valid_mask(), dest_s, nchips)
+            for S2, hop_ovf in ring_hops(S, dc, AXIS, nchips, ex_cap):
+                overflow += hop_ovf
+                out_c = _local_join(algo, R2, S2, hop_cap, key)
+                overflow += (out_c.num_rows > out_c.capacity).astype(jnp.int32)
+                out_c = Table(out_c.columns, jnp.minimum(out_c.num_rows, out_c.capacity))
+                outs.append(out_c)
+        else:
+            chunk_cap = out_capacity_per_shard // n_chunks
+            s_chunks = chunk_table(S, n_chunks) if n_chunks > 1 else [S]
+            dest_chunks = chunk_table(Table({"d": dest_s}, S.num_rows), n_chunks) \
+                if n_chunks > 1 else [Table({"d": dest_s}, S.num_rows)]
+            for Sc, Dc in zip(s_chunks, dest_chunks):
+                # chunked exchanges are mutually independent: XLA overlaps
+                # chunk i+1's all-to-all with chunk i's probe (D3).
+                dc = jnp.where(jnp.arange(Sc.capacity) < Sc.num_rows, Dc.col("d"), nchips)
+                S2, s_ovf = exchange(Sc, dc, AXIS, nchips, ex_cap, impl=exchange_impl)
+                overflow += s_ovf
+                out_c = _local_join(algo, R2, S2,
+                                    chunk_cap if n_chunks > 1 else out_capacity_per_shard, key)
+                overflow += (out_c.num_rows > out_c.capacity).astype(jnp.int32)
+                out_c = Table(out_c.columns, jnp.minimum(out_c.num_rows, out_c.capacity))
+                outs.append(out_c)
 
         if heavy_out is not None:
             heavy_out = Table(heavy_out.columns,

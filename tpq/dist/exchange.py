@@ -102,10 +102,69 @@ def exchange_ragged(table: Table, dest: jnp.ndarray, axis: str, nchips: int,
     return Table(recv_cols, total), overflow
 
 
+def ring_hops(table: Table, dest: jnp.ndarray, axis: str, nchips: int,
+              bucket_capacity: int):
+    """`ppermute`-ring exchange, hop by hop — ladder rung 3 (SURVEY.md
+    §5.8), the overlap-friendly variant: hop t moves exactly the rows
+    that are t ring-steps from home, so a consumer can join hop t-1's
+    rows while hop t is on the wire (D3's structural overlap — the
+    ring-attention communication skeleton applied to join state,
+    SURVEY.md §2.2 checklist).
+
+    Yields nchips (bucket Table, its true row count) pairs: hop 0 is the
+    local bucket, hop t>0 arrives from ring predecessor i-t. Total bytes
+    on the wire equal the dense all_to_all's; they are just spread over
+    n-1 schedulable hops.
+    """
+    bucketed, counts, overflow = bucket_by_dest(table, dest, nchips, bucket_capacity)
+    me = jax.lax.axis_index(axis)
+    cols2d = {n: c.reshape(nchips, bucket_capacity) for n, c in bucketed.items()}
+
+    def bucket_for(offset: int):
+        """My bucket destined for chip (me + offset) % nchips."""
+        j = (me + offset) % nchips
+        cols = {n: jax.lax.dynamic_slice_in_dim(c, j, 1, axis=0)[0]
+                for n, c in cols2d.items()}
+        return cols, counts[j]
+
+    hops = []
+    local_cols, local_cnt = bucket_for(0)
+    hops.append((Table(local_cols, local_cnt), overflow))
+    for t in range(1, nchips):
+        # Receiver i's hop-t bucket lives on shard (i+t): every shard
+        # sends its bucket destined for its t-step ring predecessor
+        # (me - t), and the perm routes source j -> dest (j - t).
+        perm_t = [(j, (j - t) % nchips) for j in range(nchips)]
+        send_cols, send_cnt = bucket_for((nchips - t) % nchips)
+        recv_cols = {n: jax.lax.ppermute(c, axis, perm_t)
+                     for n, c in send_cols.items()}
+        recv_cnt = jax.lax.ppermute(send_cnt, axis, perm_t)
+        hops.append((Table(recv_cols, recv_cnt), jnp.int32(0)))
+    return hops
+
+
+def exchange_ring(table: Table, dest: jnp.ndarray, axis: str, nchips: int,
+                  bucket_capacity: int):
+    """Ring exchange materialized to one received Table (same contract as
+    exchange_dense); the hop-level generator `ring_hops` is what the
+    overlapped join consumes."""
+    hops = ring_hops(table, dest, axis, nchips, bucket_capacity)
+    overflow = hops[0][1]
+    cols = {n: jnp.concatenate([h.columns[n] for h, _ in hops])
+            for n in hops[0][0].names}
+    slot = jnp.arange(nchips * bucket_capacity, dtype=jnp.int32)
+    cnts = jnp.stack([h.num_rows for h, _ in hops])
+    valid = (slot % bucket_capacity) < cnts[slot // bucket_capacity]
+    received = Table(cols, nchips * bucket_capacity)
+    return compact(received, valid), overflow
+
+
 def exchange(table: Table, dest: jnp.ndarray, axis: str, nchips: int,
              bucket_capacity: int, impl: str = "dense"):
     if impl == "dense":
         return exchange_dense(table, dest, axis, nchips, bucket_capacity)
     if impl == "ragged":
         return exchange_ragged(table, dest, axis, nchips, bucket_capacity)
+    if impl == "ring":
+        return exchange_ring(table, dest, axis, nchips, bucket_capacity)
     raise ValueError(f"unknown exchange impl {impl!r}")
