@@ -14,6 +14,9 @@ from pathlib import Path
 
 _PLATFORM = os.environ.get("TPQ_TEST_PLATFORM", "cpu")
 os.environ["JAX_PLATFORMS"] = _PLATFORM
+# Pallas interpret-mode programs compile slowly on XLA:CPU; the persistent
+# cache makes re-runs of the suite near-instant (SURVEY.md §7.4.7).
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache-tests")
 if _PLATFORM == "cpu":
     os.environ["PALLAS_AXON_POOL_IPS"] = ""  # keep axon from hijacking
     # The axon sitecustomize imports jax at interpreter startup, freezing

@@ -106,7 +106,7 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="single_chip_1m", choices=sorted(PRESETS))
     p.add_argument("--algo", default=None, choices=[None, "hash", "merge"])
-    p.add_argument("--impl", default=None, choices=[None, "sorted", "rh"])
+    p.add_argument("--impl", default=None, choices=[None, "lane", "sorted", "rh"])
     p.add_argument("--iters", type=int, default=None)
     p.add_argument("--trace-dir", default=None)
     p.add_argument("--json-out", default=None)

@@ -31,7 +31,7 @@ class JoinConfig:
     """Hash-join planning knobs (C6/C4/C3)."""
 
     algo: str = "hash"  # hash | merge
-    impl: str = "sorted"  # sorted | rh (pallas robin-hood path)
+    impl: str = "lane"  # lane (compiled table kernels) | sorted | rh
     out_capacity_factor: float = 4.0  # x max(|R|,|S|) static output slack
     partition_bits: int | None = None  # None = planned from VMEM budget
     vmem_budget_bytes: int = 96 * 1024 * 1024

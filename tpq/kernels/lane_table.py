@@ -1,0 +1,354 @@
+"""C4 v2 — lane-bucket hash table: the compiled-TPU hash-join path
+(SURVEY.md §2.1 C4, §7.4.1; BASELINE.json:L5 "hash join (build+probe
+with open-addressing ... tables laid out in HBM/VMEM tiles)"; VERDICT r1
+item 1; oracle twin: oracle/rh_table.h via oracle/main.cc hash_join).
+
+Why this shape: v5e Mosaic supports exactly ONE fast dynamic gather —
+`take_along_axis` along the 128-lane axis of one vreg row (measured
+3 G probes/s in the D-round walk, scripts/tpu_r2_probe2.py; every
+cross-sublane / cross-vreg gather form fails to compile,
+scripts/tpu_r2_design.py). So the table is laid out so a probe only
+ever gathers WITHIN a 128-lane row:
+
+  * hash(key) -> (partition p, lane l). A partition's table is a
+    [D, 128] tile set per plane: lane l's bucket is the column
+    (0..D-1, l), i.e. up to D entries per lane.
+  * build: one stable sort by (bucket, key) + scan-based rank within
+    bucket (equal keys take consecutive ranks => runs are contiguous
+    in d), then the PAD mover places rows at (p*128+l)*D + d in
+    lane-major order — one transpose later the planes are [p, D, 128].
+  * probe: queries sorted by partition only (PAD to [p, probe_cap]);
+    the kernel walks d = 0..D-1, gathering table row d at each query's
+    OWN lane — keys AND build payloads — entirely in-register. The
+    first K matches' payloads are selected inline; rarer multiplicities
+    (cnt > K) go to a compacted tail expanded by small gathers.
+
+Static-capacity violations (bucket depth > D, probe partition overflow,
+tail overflow) route the WHOLE join through the sorted impl via
+lax.cond — the reference's "sort-merge fallback for high-skew keys"
+(BASELINE.json:L5)."""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpq.columnar import Table, next_pow2
+from tpq.hashing import hash_keys
+from tpq.kernels.move import pack, pad
+from tpq.ops._expand import barrier, expand_segments
+from tpq.ops.union_join import col_planes, planes_col
+
+I32 = jnp.int32
+L = 128
+SALT_LANE = 0x1A9E0001
+
+
+@dataclass(frozen=True)
+class LanePlan:
+    pbits: int          # partitions = 2^pbits
+    depth: int          # D: table rows (bucket capacity per lane)
+    probe_cap: int      # padded probe rows per partition (mult of 1024)
+    inline_k: int       # match ranks emitted inline
+    tail_rows_cap: int  # compacted queries with cnt > K
+    tail_out_cap: int   # tail output rows
+
+    @property
+    def npart(self) -> int:
+        return 1 << self.pbits
+
+    @property
+    def nbuckets(self) -> int:
+        return self.npart * L
+
+
+def plan_lane(r_capacity: int, s_capacity: int, depth: int = 32,
+              mean_occupancy: int = 8, probe_slack: float = 2.0,
+              inline_k: int = 2, out_capacity: int | None = None) -> LanePlan:
+    npart = next_pow2(max(1, r_capacity // (L * mean_occupancy)))
+    pbits = npart.bit_length() - 1
+    per_part = max(1, s_capacity // npart)
+    probe_cap = ((int(per_part * probe_slack) + 4095) // 4096) * 4096
+    probe_cap = max(4096, probe_cap)  # PAD tiles are 32x128
+    u = npart * probe_cap
+    return LanePlan(pbits=pbits, depth=depth, probe_cap=probe_cap,
+                    inline_k=inline_k,
+                    tail_rows_cap=max(1024, u >> 4),
+                    tail_out_cap=max(2048, (out_capacity or u) >> 3))
+
+
+# ---------------------------------------------------------------------------
+# build
+# ---------------------------------------------------------------------------
+
+@dataclass
+class LaneTables:
+    plan: LanePlan
+    key_planes: list[jnp.ndarray]   # each [npart, D, 128]
+    pay_planes: list[jnp.ndarray]   # each [npart, D, 128]
+    occ: jnp.ndarray                # [npart, D, 128]
+    ok: jnp.ndarray                 # scalar bool
+
+
+def _rank_in_group(group: jnp.ndarray) -> jnp.ndarray:
+    """group: sorted i32[N]. Returns i - first_index_of(group[i])."""
+    n = group.shape[0]
+    i = jnp.arange(n, dtype=I32)
+    new = jnp.concatenate([jnp.ones(1, bool), group[1:] != group[:-1]])
+    return i - jax.lax.cummax(jnp.where(new, i, -1))
+
+
+def build_lane_tables(r: Table, plan: LanePlan, key: str = "key",
+                      interpret: bool = False) -> LaneTables:
+    D, npart = plan.depth, plan.npart
+    rk = r.col(key)
+    valid = r.valid_mask()
+    h = hash_keys(rk, plan.pbits + 7, SALT_LANE)
+    bucket = jnp.where(valid, h, plan.nbuckets).astype(I32)
+
+    kp = list(col_planes(rk))
+    pays = [p for n in r.names if n != key for p in col_planes(r.col(n))]
+    ops = barrier((bucket, *kp, *pays))
+    sorted_ops = jax.lax.sort(ops, num_keys=1 + len(kp), is_stable=True)
+    bucket_s = sorted_ops[0]
+    planes_s = [x.astype(I32) for x in sorted_ops[1:]]
+
+    rank = _rank_in_group(bucket_s)
+    live = bucket_s < plan.nbuckets
+    n_live = jnp.sum(valid.astype(I32))
+    overflow = jnp.any(live & (rank >= D))
+    dest = jnp.where(live & (rank < D), bucket_s * D + rank, plan.nbuckets * D)
+
+    padded, occ = pad(planes_s, dest, n_live, plan.nbuckets * D,
+                      interpret=interpret)
+    # lane-major [p*128+l, D] -> [p, D, 128]
+    def to_tiles(x):
+        return jnp.swapaxes(x.reshape(npart, L, D), 1, 2)
+
+    tiles = [to_tiles(x) for x in padded]
+    return LaneTables(plan=plan,
+                      key_planes=tiles[:len(kp)],
+                      pay_planes=tiles[len(kp):],
+                      occ=to_tiles(occ),
+                      ok=~overflow)
+
+
+# ---------------------------------------------------------------------------
+# probe kernel
+# ---------------------------------------------------------------------------
+
+def _probe_kernel(D: int, K: int, nkp: int, npay: int, *refs):
+    # refs: table key planes (nkp) + occ + pay planes (npay), query key
+    # planes (nkp) + lane + qocc, outputs: cnt, d_first, K*npay pay outs
+    nt = nkp + 1 + npay
+    tabs = refs[:nt]
+    q = refs[nt:nt + nkp + 2]
+    outs = refs[nt + nkp + 2:]
+    t_keys, t_occ, t_pays = tabs[:nkp], tabs[nkp], tabs[nkp + 1:]
+    q_keys, lane, qocc = q[:nkp], q[nkp], q[nkp + 1]
+
+    lane_v = lane[0]
+    shape = lane_v.shape
+    qk = [x[0] for x in q_keys]
+    live = qocc[0] > 0
+    cnt = jnp.zeros(shape, I32)
+    d_first = jnp.full(shape, -1, I32)
+    pay_sel = [[jnp.zeros(shape, I32) for _ in range(npay)] for _ in range(K)]
+    for d in range(D):
+        gk = [jnp.take_along_axis(
+            jnp.broadcast_to(t[0, d][None, :], shape), lane_v, axis=1)
+            for t in t_keys]
+        gocc = jnp.take_along_axis(
+            jnp.broadcast_to(t_occ[0, d][None, :], shape), lane_v, axis=1)
+        m = live & (gocc > 0)
+        for a, b in zip(gk, qk):
+            m = m & (a == b)
+        gp = [jnp.take_along_axis(
+            jnp.broadcast_to(t[0, d][None, :], shape), lane_v, axis=1)
+            for t in t_pays]
+        for j in range(K):
+            sel = m & (cnt == j)
+            for i in range(npay):
+                pay_sel[j][i] = jnp.where(sel, gp[i], pay_sel[j][i])
+        d_first = jnp.where(m & (cnt == 0), d, d_first)
+        cnt = cnt + m.astype(I32)
+    outs[0][0] = cnt
+    outs[1][0] = d_first
+    oi = 2
+    for j in range(K):
+        for i in range(npay):
+            outs[oi][0] = pay_sel[j][i]
+            oi += 1
+
+
+def probe_lane_tables(tables: LaneTables, s: Table, key: str = "key",
+                      interpret: bool = False):
+    """Returns (query planes dict, cnt, d_first, inline pay planes
+    [K][npay], qocc, p_idx, lane, overflow) — all in the padded
+    [npart * probe_cap] probe order."""
+    plan = tables.plan
+    D, K, npart, probe_cap = plan.depth, plan.inline_k, plan.npart, plan.probe_cap
+    sk = s.col(key)
+    valid = s.valid_mask()
+    h = hash_keys(sk, plan.pbits + 7, SALT_LANE)
+    p = (h >> 7).astype(I32)
+    lane = (h & (L - 1)).astype(I32)
+    bucket_p = jnp.where(valid, p, npart).astype(I32)
+
+    kp = list(col_planes(sk))
+    pays = [pl_ for n in s.names if n != key for pl_ in col_planes(s.col(n))]
+    ops = barrier((bucket_p, lane, *kp, *pays))
+    sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=True)
+    bp_s = sorted_ops[0]
+    rest = [x.astype(I32) for x in sorted_ops[1:]]
+
+    rank = _rank_in_group(bp_s)
+    live = bp_s < npart
+    n_live = jnp.sum(valid.astype(I32))
+    overflow = jnp.any(live & (rank >= probe_cap))
+    dest = jnp.where(live & (rank < probe_cap),
+                     bp_s * probe_cap + rank, npart * probe_cap)
+
+    padded, qocc = pad(rest, dest, n_live, npart * probe_cap,
+                       interpret=interpret)
+    lane_p = padded[0]
+    qk_p = padded[1:1 + len(kp)]
+    spay_p = padded[1 + len(kp):]
+
+    nkp, npay = len(tables.key_planes), len(tables.pay_planes)
+    qrows = probe_cap // L
+    grid = (npart, qrows // 8)
+    tspec = pl.BlockSpec((1, D, L), lambda pi, t: (pi, 0, 0),
+                         memory_space=pltpu.VMEM)
+    qspec = pl.BlockSpec((1, 8, L), lambda pi, t: (pi, t, 0),
+                         memory_space=pltpu.VMEM)
+
+    def q3(x):
+        return x.reshape(npart, qrows, L)
+
+    n_out = 2 + K * npay
+    kern = functools.partial(_probe_kernel, D, K, nkp, npay)
+    call = pl.pallas_call(
+        kern, grid=grid,
+        in_specs=[tspec] * (nkp + 1 + npay) + [qspec] * (nkp + 2),
+        out_specs=[qspec] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((npart, qrows, L), I32)] * n_out,
+        interpret=interpret or jax.default_backend() == "cpu")
+    with jax.enable_x64(False):
+        outs = call(*tables.key_planes, tables.occ, *tables.pay_planes,
+                    *[q3(x) for x in qk_p], q3(lane_p), q3(qocc))
+    outs = [o.reshape(npart * probe_cap) for o in outs]
+    cnt, d_first = outs[0], outs[1]
+    inline_pays = [[outs[2 + j * npay + i] for i in range(npay)]
+                   for j in range(K)]
+    return (qk_p, spay_p, cnt, d_first, inline_pays, qocc,
+            lane_p, overflow)
+
+
+# ---------------------------------------------------------------------------
+# the join operator
+# ---------------------------------------------------------------------------
+
+def lane_hash_join(r: Table, s: Table, out_capacity: int, key: str = "key",
+                   plan: LanePlan | None = None,
+                   interpret: bool = False) -> Table:
+    """Partitioned lane-bucket hash join — hash_join's compiled-TPU path."""
+    from tpq.ops.union_join import union_join
+
+    if plan is None:
+        plan = plan_lane(r.capacity, s.capacity, out_capacity=out_capacity)
+    K = plan.inline_k
+    r_names = [n for n in r.names if n != key]
+    s_names = [n for n in s.names if n != key]
+    out_names = ([key] + [f"r_{n}" for n in r_names] + [f"s_{n}" for n in s_names])
+    out_dtypes = ([r.col(key).dtype] + [r.col(n).dtype for n in r_names]
+                  + [s.col(n).dtype for n in s_names])
+
+    tables = build_lane_tables(r, plan, key, interpret)
+    (qk_p, spay_p, cnt, d_first, inline_pays, qocc, lane_p,
+     probe_ovf) = probe_lane_tables(tables, s, key, interpret)
+
+    u = plan.npart * plan.probe_cap
+    live_q = qocc > 0
+    cnt_eff = jnp.where(live_q, cnt, 0)
+    total64 = jnp.sum(cnt_eff.astype(jnp.int64))
+    total = jnp.minimum(total64, jnp.int64(2**31 - 1)).astype(I32)
+    tail_rows = jnp.sum((cnt_eff > K).astype(I32))
+    tail_out64 = total64 - jnp.sum(jnp.minimum(cnt_eff, K).astype(jnp.int64))
+    caps_ok = (tail_rows <= plan.tail_rows_cap) & \
+        (tail_out64 <= plan.tail_out_cap)
+    ok = tables.ok & (~probe_ovf) & caps_ok
+
+    nkp = len(qk_p)
+    npay = len(tables.pay_planes)
+
+    def emit(_):
+        # ---- tail: queries with cnt > K, compacted with PACK ----
+        def tail(_):
+            tflag = (cnt_eff > K).astype(I32)
+            pidx = jnp.arange(u, dtype=I32) // plan.probe_cap
+            tplanes, _ = pack(
+                [d_first, cnt_eff, lane_p, pidx,
+                 jnp.arange(u, dtype=I32)] , tflag)
+            tcap = plan.tail_rows_cap
+            td, tc, tl, tp, tq = [x[:tcap] for x in tplanes]
+            t_live = jnp.arange(tcap, dtype=I32) < jnp.sum(tflag)
+            counts_t = jnp.where(t_live, tc - K, 0)
+            seg, rnk, _, vout = expand_segments(counts_t, plan.tail_out_cap)
+            # matched run is contiguous in d: extra match m sits at
+            # d_first + K + rnk in the same (p, lane) bucket
+            d_pick = jnp.minimum(td[seg] + K + rnk, plan.depth - 1)
+            flat = (tp[seg] * plan.depth + d_pick) * L + tl[seg]
+            flat = jnp.clip(flat, 0, plan.npart * plan.depth * L - 1)
+            tpay = [jnp.where(vout, t.reshape(-1)[flat], 0)
+                    for t in tables.pay_planes]
+            qsrc = jnp.minimum(tq[seg], u - 1)
+            tkey = [jnp.where(vout, x[qsrc], 0) for x in qk_p]
+            tspay = [jnp.where(vout, x[qsrc], 0) for x in spay_p]
+            return vout.astype(I32), tkey, tpay, tspay
+
+        def no_tail(_):
+            z = jnp.zeros(plan.tail_out_cap, I32)
+            return (z, [z] * nkp, [z] * npay,
+                    [z] * len(spay_p))
+
+        t_v, t_key, t_pay, t_spay = jax.lax.cond(
+            tail_out64 > 0, tail, no_tail, operand=None)
+
+        # ---- assemble candidates: K inline blocks + tail ----
+        valid_all = jnp.concatenate(
+            [(live_q & (cnt > j)).astype(I32) for j in range(K)] + [t_v])
+        key_all = [jnp.concatenate([x] * K + [t_key[i]])
+                   for i, x in enumerate(qk_p)]
+        rpay_all = [jnp.concatenate([inline_pays[j][i] for j in range(K)]
+                                    + [t_pay[i]])
+                    for i in range(npay)]
+        spay_all = [jnp.concatenate([x] * K + [t_spay[i]])
+                    for i, x in enumerate(spay_p)]
+
+        packed, _ = pack(key_all + rpay_all + spay_all, valid_all)
+        packed = [x[:out_capacity] if x.shape[0] >= out_capacity
+                  else jnp.concatenate([x, jnp.zeros(out_capacity - x.shape[0], I32)])
+                  for x in packed]
+
+        # regroup planes into named columns
+        cols = {}
+        pos = 0
+        groups = [(key, nkp)]
+        groups += [(f"r_{n}", len(col_planes(r.col(n)))) for n in r_names]
+        groups += [(f"s_{n}", len(col_planes(s.col(n)))) for n in s_names]
+        for (name, npl), dt in zip(groups, out_dtypes):
+            cols[name] = planes_col(
+                tuple(p.astype(jnp.uint32) for p in packed[pos:pos + npl]), dt)
+            pos += npl
+        return Table(cols, total)
+
+    def fallback(_):
+        return union_join(r, s, out_capacity, key=key)
+
+    return jax.lax.cond(ok, emit, fallback, operand=None)

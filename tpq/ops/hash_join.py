@@ -52,9 +52,22 @@ def hash_join(
     out_capacity: int,
     key: str = "key",
     bits: int | None = None,
-    impl: str = "sorted",
+    impl: str = "lane",
 ) -> Table:
-    """Inner equi-join R ⋈ S on `key` via hash-ordered build layout."""
+    """Inner equi-join R ⋈ S on `key`.
+
+    impl="lane" (default): the compiled lane-bucket table path
+    (tpq/kernels/lane_table.py) — partitioned VMEM-resident hash tables
+    probed with a D-round in-register walk; falls back to the sorted
+    impl under lax.cond on any static-capacity violation (high skew).
+    impl="sorted": the union-sort engine (also merge_join's engine).
+    impl="rh": the round-1 sorted-placement robin-hood prototype
+    (interpret-mode only on TPU; kept for differential tests).
+    """
+    if impl == "lane":
+        from tpq.kernels.lane_table import lane_hash_join
+
+        return lane_hash_join(r, s, out_capacity, key=key)
     if impl == "rh":
         from tpq.kernels.rh_table import rh_hash_join
 
