@@ -90,7 +90,11 @@ class DistTable:
 
 def _local_join(algo: str, r: Table, s: Table, cap: int, key: str) -> Table:
     if algo == "hash":
-        return hash_join(r, s, cap, key=key)
+        # impl="sorted" inside shard_map: the lane path's pallas_call needs
+        # per-output vma annotations under check_vma (and its plan depends
+        # on per-shard capacities); the union-sort engine is shard-shape
+        # agnostic. Lane-in-shard_map is a planned follow-up.
+        return hash_join(r, s, cap, key=key, impl="sorted")
     return merge_join(r, s, cap, key=key)
 
 
