@@ -111,6 +111,58 @@ def test_ring_exchange_equals_dense():
 
 
 @requires_multidevice
+def test_ring_join_output_overflow_not_silent():
+    """Round-2 regression (MULTICHIP_r02 rc=1): the final with_capacity
+    clamped num_rows BEFORE the overflow check, so the ring variant
+    silently dropped 15,111 of 62,545 join rows with overflow == 0.
+    Contract (SURVEY.md §5.3): either the full result or overflow != 0."""
+    mesh = make_mesh(8)
+    r = datagen.gen_relation_np(1024, 600, payloads=1, seed=1, kind="zipf")
+    s = datagen.gen_relation_np(2048, 600, payloads=1, seed=2, kind="zipf")
+    import collections
+
+    rc = collections.Counter(r["key"].tolist())
+    sc = collections.Counter(s["key"].tolist())
+    expected = sum(rc[k] * sc[k] for k in rc)
+    R = DistTable.from_numpy(r, mesh)
+    S = DistTable.from_numpy(s, mesh)
+
+    out, overflow = dist_hash_join(R, S, mesh, out_capacity_per_shard=1 << 15,
+                                   exchange_impl="ring")
+    got_rows = len(out.to_numpy()["key"])
+    # under-capacity: MUST report overflow rather than quietly truncate
+    assert got_rows == expected or int(np.asarray(overflow).sum()) > 0, \
+        f"silent row loss: {got_rows}/{expected} rows, overflow==0"
+
+    out, overflow = dist_hash_join(R, S, mesh, out_capacity_per_shard=1 << 17,
+                                   exchange_impl="ring")
+    assert int(np.asarray(overflow).sum()) == 0
+    assert len(out.to_numpy()["key"]) == expected
+
+
+@requires_multidevice
+def test_dist_renegotiation_recovers_ring_overflow():
+    """§5.3 closure for the distributed path: start from the capacity that
+    overflows and let the host wrapper grow it to the full result."""
+    from tpq.dist.dist_join import dist_hash_join_renegotiated
+
+    mesh = make_mesh(8)
+    r = datagen.gen_relation_np(1024, 600, payloads=1, seed=1, kind="zipf")
+    s = datagen.gen_relation_np(2048, 600, payloads=1, seed=2, kind="zipf")
+    import collections
+
+    rc = collections.Counter(r["key"].tolist())
+    sc = collections.Counter(s["key"].tolist())
+    expected = sum(rc[k] * sc[k] for k in rc)
+    R = DistTable.from_numpy(r, mesh)
+    S = DistTable.from_numpy(s, mesh)
+    out, retries = dist_hash_join_renegotiated(
+        R, S, mesh, out_capacity_per_shard=1 << 14, exchange_impl="ring")
+    assert len(out.to_numpy()["key"]) == expected
+    assert retries >= 1  # 1<<14 cannot hold the skewed shard's output
+
+
+@requires_multidevice
 def test_exchange_overflow_detected():
     mesh = make_mesh(8)
     # all rows share one key -> all land on one chip; tiny bucket capacity

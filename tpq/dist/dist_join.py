@@ -200,10 +200,52 @@ def dist_hash_join(
         # compact against the slot mask, not merged.num_rows: valid rows are
         # scattered per-chunk, so valid_mask() (a prefix mask) must not apply
         out = compact(Table(merged.columns, merged.capacity), valid)
-        out = out.with_capacity(out_capacity_per_shard)
+        # overflow MUST be read off the pre-clamp row count: with_capacity
+        # clamps num_rows, which made this check a tautology and silently
+        # dropped rows (round-2 MULTICHIP failure; SURVEY.md §5.3 contract:
+        # overflow visible as num_rows > capacity)
         out_overflow = (out.num_rows > out_capacity_per_shard).astype(jnp.int32)
+        out = out.with_capacity(out_capacity_per_shard)
         n_out = jnp.minimum(out.num_rows, out_capacity_per_shard)[None]
         return dict(out.columns), n_out.astype(jnp.int32), (overflow + out_overflow)[None]
 
     out_cols, out_counts, overflow = body(r.columns, r.shard_rows, s.columns, s.shard_rows)
     return DistTable(out_cols, out_counts), overflow
+
+
+def dist_hash_join_renegotiated(
+    r: DistTable,
+    s: DistTable,
+    mesh: Mesh,
+    out_capacity_per_shard: int,
+    exchange_capacity: int | None = None,
+    max_retries: int = 6,
+    **kwargs,
+) -> tuple[DistTable, int]:
+    """Distributed join under the §5.3 renegotiation contract (VERDICT r2
+    item 1/9): run, read the psum'd overflow scalar back, and if any
+    shard's exchange bucket / replica buffer / join output overflowed,
+    re-run with every static capacity doubled. Overflow is a COUNT of
+    violated capacities, not a size, so growth is geometric; each retry
+    costs one extra compile of the shard_map body. Returns
+    (result, retries_used)."""
+    out_cap = out_capacity_per_shard
+    ex_cap = exchange_capacity
+    skew = kwargs.get("skew")
+    for attempt in range(max_retries + 1):
+        out, overflow = dist_hash_join(
+            r, s, mesh, out_capacity_per_shard=out_cap,
+            exchange_capacity=ex_cap, **kwargs)
+        if int(np.asarray(overflow).sum()) == 0:
+            return out, attempt
+        out_cap *= 2
+        if ex_cap is not None:
+            ex_cap *= 2
+        if skew is not None:
+            kwargs["skew"] = skew = SkewConfig(
+                candidates_per_shard=skew.candidates_per_shard,
+                threshold=skew.threshold,
+                replica_capacity_per_shard=2 * skew.replica_capacity_per_shard)
+    raise RuntimeError(
+        f"distributed renegotiation failed after {max_retries} retries "
+        f"(last out_capacity_per_shard {out_cap // 2})")

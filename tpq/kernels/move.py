@@ -127,12 +127,16 @@ def pad(planes: list[jnp.ndarray], dest: jnp.ndarray, n_live,
     if interpret is False and jax.default_backend() == "cpu":
         interpret = True
     T = rows * L
-    assert out_len % T == 0, (out_len, T)
-    ntiles = out_len // T
+    # sub-tile out_len: run the kernel on the next full-tile length and
+    # slice back — live dests are < out_len by contract, so the rounded
+    # tail only ever holds occ=0 padding
+    out_pad = ((out_len + T - 1) // T) * T
+    ntiles = out_pad // T
     n = planes[0].shape[0]
 
     k = jnp.arange(n, dtype=I32)
-    dest_eff = jnp.where(k < n_live, dest.astype(I32), out_len)
+    dest_eff = jnp.where((k < n_live) & (dest.astype(I32) < out_len),
+                         dest.astype(I32), out_pad)
     # per-output-tile input starts: dest is monotone over the live prefix,
     # so starts = binary search of the tile boundaries (ntiles tiny
     # queries — NOT a scatter/histogram over N, which XLA:TPU serializes:
@@ -168,7 +172,7 @@ def pad(planes: list[jnp.ndarray], dest: jnp.ndarray, n_live,
 
     with jax.enable_x64(False):
         outs = call(starts, *ops2d)
-    flat_outs = [o.reshape(out_len) for o in outs]
+    flat_outs = [o.reshape(out_pad)[:out_len] for o in outs]
     return flat_outs[:-1], flat_outs[-1]
 
 
