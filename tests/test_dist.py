@@ -111,6 +111,31 @@ def test_ring_exchange_equals_dense():
 
 
 @requires_multidevice
+def test_dist_join_lane_local_impl(oracle, tmp_path):
+    """local_impl="lane": the compiled lane-bucket kernels run inside the
+    shard_map body with R's table built once per shard and probed per
+    ring hop (VERDICT r2 item 3). Ring is the interesting variant (the
+    hop loop shares one build); sizes are small because interpret-mode
+    Pallas under an 8-shard shard_map compiles slowly on CPU."""
+    mesh = make_mesh(8)
+    r = datagen.gen_relation_np(1500, 400, payloads=1, seed=31)
+    s = datagen.gen_relation_np(2500, 400, payloads=2, seed=32)
+    pr, ps, po = (tmp_path / f"lane_{n}.tpqc" for n in ("r", "s", "o"))
+    colio.dump(str(pr), r)
+    colio.dump(str(ps), s)
+    oracle("join", algo="hash", left=pr, right=ps, out=po)
+    expected = colio.load(str(po))
+
+    R = DistTable.from_numpy(r, mesh)
+    S = DistTable.from_numpy(s, mesh)
+    out, overflow = dist_hash_join(R, S, mesh, out_capacity_per_shard=1 << 14,
+                                   exchange_impl="ring",
+                                   local_impl="lane")
+    assert int(np.asarray(overflow).sum()) == 0
+    assert_tables_equal(_canon_np(out.to_numpy()), expected, "dist_lane_ring")
+
+
+@requires_multidevice
 def test_ring_join_output_overflow_not_silent():
     """Round-2 regression (MULTICHIP_r02 rc=1): the final with_capacity
     clamped num_rows BEFORE the overflow check, so the ring variant

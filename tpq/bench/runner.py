@@ -51,6 +51,43 @@ def time_fn(fn, args, warmup: int, iters: int) -> tuple[float, object]:
     return sec, out
 
 
+def phase_report(cfg: BenchConfig, hbm_bw: float) -> list[dict]:
+    """Per-phase ms of the lane join (VERDICT r2 item 2: the budget that
+    localizes the roofline gap). Each phase is separately jitted and
+    slope-timed; `emit` is probe_emit minus the bare probe, `other` is
+    end-to-end minus the jitted stages (jit-boundary materialization +
+    the final fallback-cond plumbing)."""
+    from tpq.bench.timing import slope_time
+    from tpq.kernels.lane_table import (build_lane_tables, lane_hash_join,
+                                        lane_probe_emit, plan_lane,
+                                        probe_lane_tables)
+
+    r, s = gen(cfg.r), gen(cfg.s)
+    jax.block_until_ready((r.columns, s.columns))
+    out_cap = out_capacity_for(cfg)
+    plan = plan_lane(r.capacity, s.capacity, out_capacity=out_cap)
+
+    def timed(fn, args):
+        f = jax.jit(fn)
+        jax.block_until_ready(f(*args))
+        sec, _ = slope_time(f, args, reps=2)
+        return sec * 1e3
+
+    t_build = timed(lambda a: build_lane_tables(a, plan), (r,))
+    tables = jax.jit(lambda a: build_lane_tables(a, plan))(r)
+    jax.block_until_ready(tables.occ)
+    t_probe = timed(lambda tb, b: probe_lane_tables(tb, b)[2], (tables, s))
+    t_pe = timed(lambda tb, b: lane_probe_emit(tb, b, out_cap)[0], (tables, s))
+    t_e2e = timed(lambda a, b: lane_hash_join(a, b, out_cap), (r, s))
+    return [
+        {"phase": "build(sort+pad)", "ms": round(t_build, 3)},
+        {"phase": "probe(sort+pad+kernel)", "ms": round(t_probe, 3)},
+        {"phase": "emit(tail+pack)", "ms": round(t_pe - t_probe, 3)},
+        {"phase": "other(boundaries)", "ms": round(t_e2e - t_build - t_pe, 3)},
+        {"phase": "end_to_end", "ms": round(t_e2e, 3)},
+    ]
+
+
 def run_config(cfg: BenchConfig, hbm_bw: float | None = None, trace_dir: str | None = None) -> dict:
     if hbm_bw is None:
         hbm_bw = roofline.measure_hbm_bw(size_mb=256, iters=5)
@@ -108,6 +145,9 @@ def main(argv=None):
     p.add_argument("--algo", default=None, choices=[None, "hash", "merge"])
     p.add_argument("--impl", default=None, choices=[None, "lane", "sorted", "rh"])
     p.add_argument("--iters", type=int, default=None)
+    p.add_argument("--phases", action="store_true",
+                   help="also emit the per-phase ms table of the lane join "
+                        "(build/probe/emit/other)")
     p.add_argument("--trace-dir", default=None)
     p.add_argument("--json-out", default=None)
     p.add_argument("--log-jsonl", default=None)
@@ -160,6 +200,9 @@ def main(argv=None):
           f"(HBM {report['hbm_bw_gbps']:.0f} GB/s measured)")
     print(markdown_table(report["ops"],
                          ["op", "elapsed_ms", "sol_ms", "roofline_pct", "rows_per_sec"]))
+    if args.phases:
+        report["phases"] = phase_report(cfg, report["hbm_bw_gbps"])
+        print(markdown_table(report["phases"], ["phase", "ms"]))
     if args.json_out:
         emit_json(args.json_out, report)
     if args.check:

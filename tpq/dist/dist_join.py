@@ -90,10 +90,6 @@ class DistTable:
 
 def _local_join(algo: str, r: Table, s: Table, cap: int, key: str) -> Table:
     if algo == "hash":
-        # impl="sorted" inside shard_map: the lane path's pallas_call needs
-        # per-output vma annotations under check_vma (and its plan depends
-        # on per-shard capacities); the union-sort engine is shard-shape
-        # agnostic. Lane-in-shard_map is a planned follow-up.
         return hash_join(r, s, cap, key=key, impl="sorted")
     return merge_join(r, s, cap, key=key)
 
@@ -109,14 +105,26 @@ def dist_hash_join(
     key: str = "key",
     skew: SkewConfig | None = None,
     n_chunks: int = 1,
+    local_impl: str = "sorted",
 ) -> tuple[DistTable, jax.Array]:
     """Distributed inner equi-join. Returns (row-sharded result,
     overflow counts int32[nchips] — nonzero means a shard's exchange
     bucket, skew replica, or join output overflowed and capacities must
-    be renegotiated (SURVEY.md §5.3))."""
+    be renegotiated (SURVEY.md §5.3)).
+
+    local_impl="lane" uses the compiled lane-bucket kernels inside the
+    shard_map body with the build-once/probe-many split: R's table is
+    built ONCE per shard after its exchange and probed per ring hop /
+    chunk (VERDICT r2 item 3 — hop-loop cost no longer scales with
+    nchips x build). Lane static-capacity violations count as overflow
+    (renegotiation re-runs with larger capacities; heavy skew should
+    divert through `skew` first). Requires algo="hash"."""
     nchips = mesh.devices.size
     ex_cap = exchange_capacity or max(128, next_pow2(2 * r.local_capacity // max(1, nchips) * 2))
     assert out_capacity_per_shard % n_chunks == 0
+    use_lane = algo == "hash" and local_impl == "lane"
+    if local_impl not in ("sorted", "lane"):
+        raise ValueError(f"unknown local_impl {local_impl!r}")
 
     r_spec = {n: P(AXIS) for n in r.columns}
     s_spec = {n: P(AXIS) for n in s.columns}
@@ -129,6 +137,10 @@ def dist_hash_join(
         mesh=mesh,
         in_specs=(r_spec, P(AXIS), s_spec, P(AXIS)),
         out_specs=(out_spec, P(AXIS), P(AXIS)),
+        # pallas_call outputs carry no varying-axis annotations; the lane
+        # kernels are per-shard local compute, so the static vma check is
+        # disabled for them (collective semantics are unaffected)
+        check_vma=not use_lane,
     )
     def body(r_cols, r_n, s_cols, s_n):
         R = Table(r_cols, r_n[0])
@@ -162,6 +174,28 @@ def dist_hash_join(
                              impl="dense" if exchange_impl == "ring" else exchange_impl)
         overflow += r_ovf
 
+        if use_lane:
+            # build ONCE per shard; every hop/chunk below only probes
+            from tpq.kernels.lane_table import (build_lane_tables,
+                                                lane_probe_emit, plan_lane)
+
+            probe_cap_in = ex_cap if exchange_impl == "ring" else nchips * ex_cap
+            lane_plan = plan_lane(R2.capacity, probe_cap_in,
+                                  out_capacity=out_capacity_per_shard)
+            lane_tables = build_lane_tables(R2, lane_plan, key)
+            lane_rnames = [n for n in R2.names if n != key]
+            lane_rdtypes = [R2.col(n).dtype for n in lane_rnames]
+
+        def light_join(S2: Table, cap: int) -> Table:
+            """Per-hop/chunk local join; lane violations count as overflow
+            (num_rows stays the true total, so the overflow arithmetic of
+            the callers below keeps working)."""
+            if use_lane:
+                out_c, ok = lane_probe_emit(lane_tables, S2, cap, key,
+                                            lane_rnames, lane_rdtypes)
+                return out_c, (~ok).astype(jnp.int32)
+            return _local_join(algo, R2, S2, cap, key), jnp.int32(0)
+
         outs = []
         if exchange_impl == "ring":
             # Hop-pipelined ring (D3 proper): S arrives one ring hop at a
@@ -171,7 +205,8 @@ def dist_hash_join(
             dc = jnp.where(S.valid_mask(), dest_s, nchips)
             for S2, hop_ovf in ring_hops(S, dc, AXIS, nchips, ex_cap):
                 overflow += hop_ovf
-                out_c = _local_join(algo, R2, S2, hop_cap, key)
+                out_c, lane_ovf = light_join(S2, hop_cap)
+                overflow += lane_ovf
                 overflow += (out_c.num_rows > out_c.capacity).astype(jnp.int32)
                 out_c = Table(out_c.columns, jnp.minimum(out_c.num_rows, out_c.capacity))
                 outs.append(out_c)
@@ -186,8 +221,9 @@ def dist_hash_join(
                 dc = jnp.where(jnp.arange(Sc.capacity) < Sc.num_rows, Dc.col("d"), nchips)
                 S2, s_ovf = exchange(Sc, dc, AXIS, nchips, ex_cap, impl=exchange_impl)
                 overflow += s_ovf
-                out_c = _local_join(algo, R2, S2,
-                                    chunk_cap if n_chunks > 1 else out_capacity_per_shard, key)
+                out_c, lane_ovf = light_join(
+                    S2, chunk_cap if n_chunks > 1 else out_capacity_per_shard)
+                overflow += lane_ovf
                 overflow += (out_c.num_rows > out_c.capacity).astype(jnp.int32)
                 out_c = Table(out_c.columns, jnp.minimum(out_c.num_rows, out_c.capacity))
                 outs.append(out_c)

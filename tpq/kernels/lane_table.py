@@ -69,23 +69,34 @@ class LanePlan:
 
 def plan_lane(r_capacity: int, s_capacity: int, depth: int = 32,
               mean_occupancy: int = 8, probe_slack: float = 2.0,
-              inline_k: int = 2, out_capacity: int | None = None) -> LanePlan:
+              inline_k: int = 4, out_capacity: int | None = None) -> LanePlan:
     npart = next_pow2(max(1, r_capacity // (L * mean_occupancy)))
     pbits = npart.bit_length() - 1
     per_part = max(1, s_capacity // npart)
-    probe_cap = ((int(per_part * probe_slack) + 4095) // 4096) * 4096
-    probe_cap = max(4096, probe_cap)  # PAD tiles are 32x128
+    # PAD handles any out_len now, so probe_cap only needs 1024 (8x128
+    # sublane-tile) granularity — at per_part 1024 this halves the padded
+    # probe universe u vs the old 4096 floor (round-2: u=4M for a 1M probe)
+    probe_cap = ((int(per_part * probe_slack) + 1023) // 1024) * 1024
+    probe_cap = max(1024, probe_cap)
     u = npart * probe_cap
+    # The tail path (queries with more than inline_k matches) expands by
+    # XLA gather, whose cost scales with the STATIC cap (~16 ms per 1M
+    # gathered on v5e) — round 2's u>>3 caps made it the dominant phase
+    # (~70% of the 122.6 ms join). inline_k=4 leaves only
+    # P(Poisson(1) > 4) ~ 0.4% of uniform queries in the tail, so small
+    # caps hold with wide margin; blowing them routes to the sorted
+    # fallback (correct, slower), never truncates.
     return LanePlan(pbits=pbits, depth=depth, probe_cap=probe_cap,
                     inline_k=inline_k,
-                    tail_rows_cap=max(1024, u >> 4),
-                    tail_out_cap=max(2048, (out_capacity or u) >> 3))
+                    tail_rows_cap=max(2048, u >> 6),
+                    tail_out_cap=max(4096, min(out_capacity or u, u) >> 7))
 
 
 # ---------------------------------------------------------------------------
 # build
 # ---------------------------------------------------------------------------
 
+@jax.tree_util.register_pytree_node_class
 @dataclass
 class LaneTables:
     plan: LanePlan
@@ -93,6 +104,16 @@ class LaneTables:
     pay_planes: list[jnp.ndarray]   # each [npart, D, 128]
     occ: jnp.ndarray                # [npart, D, 128]
     ok: jnp.ndarray                 # scalar bool
+
+    def tree_flatten(self):
+        return ((tuple(self.key_planes), tuple(self.pay_planes),
+                 self.occ, self.ok), self.plan)
+
+    @classmethod
+    def tree_unflatten(cls, plan, children):
+        kp, pp, occ, ok = children
+        return cls(plan=plan, key_planes=list(kp), pay_planes=list(pp),
+                   occ=occ, ok=ok)
 
 
 def _rank_in_group(group: jnp.ndarray) -> jnp.ndarray:
@@ -254,22 +275,33 @@ def probe_lane_tables(tables: LaneTables, s: Table, key: str = "key",
 # the join operator
 # ---------------------------------------------------------------------------
 
-def lane_hash_join(r: Table, s: Table, out_capacity: int, key: str = "key",
-                   plan: LanePlan | None = None,
-                   interpret: bool = False) -> Table:
-    """Partitioned lane-bucket hash join — hash_join's compiled-TPU path."""
-    from tpq.ops.union_join import union_join
+def lane_probe_emit(tables: LaneTables, s: Table, out_capacity: int,
+                    key: str = "key", r_names: list[str] | None = None,
+                    r_dtypes: list | None = None,
+                    interpret: bool = False) -> tuple[Table, jnp.ndarray]:
+    """Probe prebuilt lane tables with S and emit the joined rows —
+    the probe-many half of the build-once/probe-many API (VERDICT r2
+    item 3: the ring/chunk loops of the distributed join build R's
+    table once and call this per hop; BASELINE.json:L5 "tables
+    hash-partitioned per chip ... shuffle overlapped with probe").
 
-    if plan is None:
-        plan = plan_lane(r.capacity, s.capacity, out_capacity=out_capacity)
+    r_names/r_dtypes describe R's payload columns (they are not
+    recoverable from the packed plane tiles); default assumes one i64
+    payload per plane pair. Returns (result Table, ok bool scalar) —
+    `ok` False means a static capacity was violated (table bucket
+    depth, probe partition, or tail) and the caller must fall back /
+    renegotiate; the result rows are then meaningless but num_rows
+    still reports the true total."""
+    plan = tables.plan
     K = plan.inline_k
-    r_names = [n for n in r.names if n != key]
+    if r_names is None:
+        npay_cols = len(tables.pay_planes) // 2
+        r_names = [f"p{i}" for i in range(npay_cols)]
+        r_dtypes = [jnp.int64] * npay_cols
     s_names = [n for n in s.names if n != key]
-    out_names = ([key] + [f"r_{n}" for n in r_names] + [f"s_{n}" for n in s_names])
-    out_dtypes = ([r.col(key).dtype] + [r.col(n).dtype for n in r_names]
+    out_dtypes = ([s.col(key).dtype] + list(r_dtypes)
                   + [s.col(n).dtype for n in s_names])
 
-    tables = build_lane_tables(r, plan, key, interpret)
     (qk_p, spay_p, cnt, d_first, inline_pays, qocc, lane_p,
      probe_ovf) = probe_lane_tables(tables, s, key, interpret)
 
@@ -287,7 +319,10 @@ def lane_hash_join(r: Table, s: Table, out_capacity: int, key: str = "key",
     nkp = len(qk_p)
     npay = len(tables.pay_planes)
 
-    def emit(_):
+    def _nplanes(dt) -> int:
+        return 2 if dt in (jnp.int64, jnp.uint64) else 1
+
+    if True:  # emit (unconditional: caller conds on `ok`)
         # ---- tail: queries with cnt > K, compacted with PACK ----
         def tail(_):
             tflag = (cnt_eff > K).astype(I32)
@@ -340,15 +375,39 @@ def lane_hash_join(r: Table, s: Table, out_capacity: int, key: str = "key",
         cols = {}
         pos = 0
         groups = [(key, nkp)]
-        groups += [(f"r_{n}", len(col_planes(r.col(n)))) for n in r_names]
-        groups += [(f"s_{n}", len(col_planes(s.col(n)))) for n in s_names]
+        groups += [(f"r_{n}", _nplanes(dt))
+                   for n, dt in zip(r_names, r_dtypes)]
+        groups += [(f"s_{n}", _nplanes(s.col(n).dtype)) for n in s_names]
         for (name, npl), dt in zip(groups, out_dtypes):
             cols[name] = planes_col(
                 tuple(p.astype(jnp.uint32) for p in packed[pos:pos + npl]), dt)
             pos += npl
-        return Table(cols, total)
+        return Table(cols, total), ok
+
+
+def lane_hash_join(r: Table, s: Table, out_capacity: int, key: str = "key",
+                   plan: LanePlan | None = None,
+                   interpret: bool = False) -> Table:
+    """Partitioned lane-bucket hash join — hash_join's compiled-TPU path.
+    build-once + probe + emit, with the union-sort engine as the lax.cond
+    fallback on any static-capacity violation (the reference's
+    "sort-merge fallback for high-skew keys", BASELINE.json:L5)."""
+    from tpq.ops.union_join import union_join
+
+    if plan is None:
+        plan = plan_lane(r.capacity, s.capacity, out_capacity=out_capacity)
+    r_names = [n for n in r.names if n != key]
+    r_dtypes = [r.col(n).dtype for n in r_names]
+
+    tables = build_lane_tables(r, plan, key, interpret)
+    out, ok = lane_probe_emit(tables, s, out_capacity, key=key,
+                              r_names=r_names, r_dtypes=r_dtypes,
+                              interpret=interpret)
+
+    def keep(_):
+        return out
 
     def fallback(_):
         return union_join(r, s, out_capacity, key=key)
 
-    return jax.lax.cond(ok, emit, fallback, operand=None)
+    return jax.lax.cond(ok, keep, fallback, operand=None)
