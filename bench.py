@@ -16,7 +16,14 @@ Everything else (per-op table, HBM BW) goes to stderr.
 """
 
 import json
+import os
 import sys
+
+# Multi-operand lax.sort programs take minutes of XLA:TPU compile time
+# (measured 645 s for the 5-operand stable build sort, warm exec 5 ms);
+# the persistent cache makes every rerun of this entry near-instant.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(__file__), ".jaxcache"))
 
 
 def main():

@@ -237,6 +237,34 @@ def test_dist_join_skew_split_matches_oracle(oracle, tmp_path, n_chunks):
 
 
 @requires_multidevice
+def test_planned_capacities_no_hand_tuning():
+    """plan_dist_capacities sizes ex_cap/out_cap exactly from the data
+    (radix_histogram + keys-only cardinality pass) — the zipf case that
+    needs hand-tuned capacities elsewhere runs with none given and no
+    overflow (VERDICT r2 item 9)."""
+    from tpq.dist.dist_join import dist_hash_join_planned, plan_dist_capacities
+
+    mesh = make_mesh(8)
+    r = datagen.gen_relation_np(8192, 50_000, payloads=1, seed=61, kind="zipf")
+    s = datagen.gen_relation_np(8192, 50_000, payloads=1, seed=62, kind="zipf")
+    R = DistTable.from_numpy(r, mesh)
+    S = DistTable.from_numpy(s, mesh)
+    ex_cap, out_cap = plan_dist_capacities(R, S, mesh)
+    # zipf head: one destination owns key 0's ~700+ rows -> ex_cap must
+    # exceed the uniform-share guess (8192/8 = 1024 would be fine, but the
+    # hot bucket is what the histogram must have caught)
+    import collections
+    rc = collections.Counter(r["key"].tolist())
+    sc = collections.Counter(s["key"].tolist())
+    expected = sum(rc[k] * sc[k] for k in rc)
+    assert out_cap >= expected / 8  # some shard owns a big slice
+
+    out, overflow = dist_hash_join_planned(R, S, mesh)
+    assert int(np.asarray(overflow).sum()) == 0
+    assert len(out.to_numpy()["key"]) == expected
+
+
+@requires_multidevice
 def test_skew_split_actually_diverts_heavy_keys():
     """The heavy path must carry the zipf head: with a tiny exchange
     capacity that WOULD overflow on the unsplit join, the split join

@@ -249,6 +249,93 @@ def dist_hash_join(
     return DistTable(out_cols, out_counts), overflow
 
 
+def plan_dist_capacities(
+    r: DistTable,
+    s: DistTable,
+    mesh: Mesh,
+    key: str = "key",
+    safety: float = 1.25,
+) -> tuple[int, int]:
+    """Exact capacity planning for the distributed join (SURVEY §5.3;
+    VERDICT r2 item 9: size ex_cap/out_cap from the histogram the engine
+    already computes, not from the local_capacity guess).
+
+    Two cheap jitted passes over KEYS ONLY:
+      1. per-(sender, destination) row counts via `radix_histogram` (C3's
+         Pallas one-hot-matmul kernel) -> exchange bucket capacity =
+         max over senders+destinations;
+      2. a keys-only exchange at that capacity, then the exact per-owner
+         join cardinality sum_k cnt_R(k)*cnt_S(k) (sorted counts, no
+         scatter) -> output capacity per shard.
+    Returns (exchange_capacity, out_capacity_per_shard), each padded by
+    `safety` and rounded to a power of two. Renegotiation remains the
+    backstop; with exact planning it should never fire."""
+    from tpq.kernels.radix_partition import radix_histogram
+    from tpq.dist.skew import _count_keys_in
+
+    nchips = mesh.devices.size
+    interpret = jax.default_backend() == "cpu"
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
+             out_specs=P(AXIS), check_vma=False)
+    def count_pass(rk, r_n, sk, s_n):
+        out = []
+        for k, n in ((rk, r_n), (sk, s_n)):
+            valid = jnp.arange(k.shape[0], dtype=jnp.int32) < n[0]
+            dest = jnp.where(valid, owner_of(k, nchips), nchips)
+            # histogram over nchips+1 slots; the sentinel slot absorbs padding
+            hist = radix_histogram(dest, nchips + 1, interpret=interpret)
+            out.append(jnp.max(hist[:nchips]))
+        m = jnp.maximum(out[0], out[1])
+        return jax.lax.pmax(m, AXIS)[None]
+
+    per_bucket = int(np.asarray(count_pass(
+        r.columns[key], r.shard_rows, s.columns[key], s.shard_rows))[0])
+    ex_cap = next_pow2(max(128, int(per_bucket * safety)))
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
+             out_specs=P(AXIS))
+    def cardinality_pass(rk, r_n, sk, s_n):
+        from tpq.ops.merge_join import I64_MAX
+
+        def keys_to_me(k, n):
+            t = Table({key: k}, n[0])
+            dest = jnp.where(t.valid_mask(), owner_of(k, nchips), nchips)
+            recv, ovf = exchange(t, dest, AXIS, nchips, ex_cap, impl="dense")
+            return recv, ovf
+
+        R2, r_ovf = keys_to_me(rk, r_n)
+        S2, s_ovf = keys_to_me(sk, s_n)
+        rk2 = jnp.sort(jnp.where(R2.valid_mask(), R2.col(key), I64_MAX))
+        sk2 = jnp.sort(jnp.where(S2.valid_mask(), S2.col(key), I64_MAX))
+        cnt_s = _count_keys_in(sk2, S2.num_rows, rk2)
+        live = jnp.arange(rk2.shape[0], dtype=jnp.int32) < R2.num_rows
+        total = jnp.sum(jnp.where(live, cnt_s, 0).astype(jnp.int64))
+        total = jnp.maximum(total, (r_ovf + s_ovf).astype(jnp.int64))
+        return jax.lax.pmax(total, AXIS)[None]
+
+    per_out = int(np.asarray(cardinality_pass(
+        r.columns[key], r.shard_rows, s.columns[key], s.shard_rows))[0])
+    out_cap = next_pow2(max(256, int(per_out * safety)))
+    return ex_cap, out_cap
+
+
+def dist_hash_join_planned(
+    r: DistTable,
+    s: DistTable,
+    mesh: Mesh,
+    key: str = "key",
+    **kwargs,
+) -> tuple[DistTable, jax.Array]:
+    """Distributed join with capacities planned exactly from the data
+    (plan_dist_capacities) instead of caller-supplied guesses."""
+    ex_cap, out_cap = plan_dist_capacities(r, s, mesh, key=key)
+    return dist_hash_join(r, s, mesh, out_capacity_per_shard=out_cap,
+                          exchange_capacity=ex_cap, key=key, **kwargs)
+
+
 def dist_hash_join_renegotiated(
     r: DistTable,
     s: DistTable,
