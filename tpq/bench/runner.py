@@ -124,6 +124,16 @@ def run_config(cfg: BenchConfig, hbm_bw: float | None = None, trace_dir: str | N
         total_bytes = sum(b.total for b in byte_model.values())
         results.append(roofline.RooflineResult(
             f"join_{cfg.join.algo}_{cfg.join.impl}", dt, total_bytes, hbm_bw, cfg.s.rows))
+        if cfg.join.algo == "hash" and cfg.join.impl == "lane":
+            # honesty guard (VERDICT r2 item 6): a lane bench row must say
+            # whether the compiled path actually ran or the sorted
+            # fallback was measured under the lane label (round 2's bug)
+            from tpq.kernels.lane_table import lane_path_taken
+
+            lane_ok = bool(jax.jit(
+                lambda a, b: lane_path_taken(a, b, out_cap))(r, s))
+            results[-1].op = ("join_hash_lane" if lane_ok
+                              else "join_hash_lane_FELL_BACK_TO_SORTED")
 
     rows = [res.row() for res in results]
     for rec in rows:

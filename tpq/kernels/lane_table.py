@@ -67,9 +67,15 @@ class LanePlan:
         return self.npart * L
 
 
-def plan_lane(r_capacity: int, s_capacity: int, depth: int = 32,
+def plan_lane(r_capacity: int, s_capacity: int, depth: int = 40,
               mean_occupancy: int = 8, probe_slack: float = 2.0,
               inline_k: int = 4, out_capacity: int | None = None) -> LanePlan:
+    # depth: at mean occupancy 8 the bucket-load tail is compound-Poisson
+    # (duplicate keys land together) — measured max 33 at config-1 scale
+    # (1M rows, ~663k distinct keys), so 32 overflowed and silently routed
+    # EVERY benchmarked join through the sorted fallback (round 2's
+    # "lane" 122.6 ms was the fallback). 40 leaves ~5 sigma of headroom
+    # for uniform keys; genuinely skewed keys still fall back by design.
     npart = next_pow2(max(1, r_capacity // (L * mean_occupancy)))
     pbits = npart.bit_length() - 1
     per_part = max(1, s_capacity // npart)
@@ -163,20 +169,12 @@ def build_lane_tables(r: Table, plan: LanePlan, key: str = "key",
 # probe kernel
 # ---------------------------------------------------------------------------
 
-def _probe_kernel(D: int, K: int, nkp: int, npay: int, *refs):
-    # refs: table key planes (nkp) + occ + pay planes (npay), query key
-    # planes (nkp) + lane + qocc, outputs: cnt, d_first, K*npay pay outs
-    nt = nkp + 1 + npay
-    tabs = refs[:nt]
-    q = refs[nt:nt + nkp + 2]
-    outs = refs[nt + nkp + 2:]
-    t_keys, t_occ, t_pays = tabs[:nkp], tabs[nkp], tabs[nkp + 1:]
-    q_keys, lane, qocc = q[:nkp], q[nkp], q[nkp + 1]
-
-    lane_v = lane[0]
+def _walk(D: int, K: int, t_keys, t_occ, t_pays, qk, lane_v, live):
+    """The D-round in-register bucket walk shared by both probe kernels:
+    gathers table row d at each query's own lane, accumulates the match
+    count, first match depth, and the first K matches' payloads."""
     shape = lane_v.shape
-    qk = [x[0] for x in q_keys]
-    live = qocc[0] > 0
+    npay = len(t_pays)
     cnt = jnp.zeros(shape, I32)
     d_first = jnp.full(shape, -1, I32)
     pay_sel = [[jnp.zeros(shape, I32) for _ in range(npay)] for _ in range(K)]
@@ -198,6 +196,23 @@ def _probe_kernel(D: int, K: int, nkp: int, npay: int, *refs):
                 pay_sel[j][i] = jnp.where(sel, gp[i], pay_sel[j][i])
         d_first = jnp.where(m & (cnt == 0), d, d_first)
         cnt = cnt + m.astype(I32)
+    return cnt, d_first, pay_sel
+
+
+def _probe_kernel(D: int, K: int, nkp: int, npay: int, *refs):
+    # refs: table key planes (nkp) + occ + pay planes (npay), query key
+    # planes (nkp) + lane + qocc, outputs: cnt, d_first, K*npay pay outs
+    nt = nkp + 1 + npay
+    tabs = refs[:nt]
+    q = refs[nt:nt + nkp + 2]
+    outs = refs[nt + nkp + 2:]
+    t_keys, t_occ, t_pays = tabs[:nkp], tabs[nkp], tabs[nkp + 1:]
+    q_keys, lane, qocc = q[:nkp], q[nkp], q[nkp + 1]
+
+    lane_v = lane[0]
+    qk = [x[0] for x in q_keys]
+    live = qocc[0] > 0
+    cnt, d_first, pay_sel = _walk(D, K, t_keys, t_occ, t_pays, qk, lane_v, live)
     outs[0][0] = cnt
     outs[1][0] = d_first
     oi = 2
@@ -272,6 +287,204 @@ def probe_lane_tables(tables: LaneTables, s: Table, key: str = "key",
 
 
 # ---------------------------------------------------------------------------
+# fused probe+emit kernel: the walk, the inline-match compaction, and the
+# output write happen in ONE pass (VERDICT r2 item 2). Replaces the
+# unfused pipeline's 2+K*npay full-universe kernel outputs, the K-block
+# concatenate, and the global PACK — the emit phase drops from ~8.6 ms to
+# in-kernel cost at config-1 scale. Output rows are flushed with the
+# cursor + overwrite discipline of tpq/kernels/move.py::_pack_kernel.
+# ---------------------------------------------------------------------------
+
+_FLUSH_ROWS = 32  # rows per output DMA; K*8 arrivals + carry < 2*_FLUSH_ROWS
+
+
+def _fused_probe_kernel(D: int, K: int, nkp: int, npay: int, nspay: int,
+                        out_row_limit: int, mosaic: bool, *refs):
+    from tpq.kernels.move import _flat_cumsum_excl, _flat_roll_dyn
+    from tpq.kernels.shift_network import route
+
+    nout = nkp + npay + nspay
+    nt = nkp + 1 + npay
+    nq = nkp + 2 + nspay
+    tabs = refs[:nt]
+    q = refs[nt:nt + nq]
+    cnt_out, dfirst_out = refs[nt + nq], refs[nt + nq + 1]
+    outs = refs[nt + nq + 2:nt + nq + 2 + nout]
+    acc = refs[nt + nq + 2 + nout]
+    cur = refs[nt + nq + 2 + nout + 1]
+    sem = refs[nt + nq + 2 + nout + 2]
+    t_keys, t_occ, t_pays = tabs[:nkp], tabs[nkp], tabs[nkp + 1:]
+    q_keys, lane, qocc = q[:nkp], q[nkp], q[nkp + 1]
+    q_spay = q[nkp + 2:]
+
+    pi, t = pl.program_id(0), pl.program_id(1)
+    first = (pi == 0) & (t == 0)
+    last = (pi == pl.num_programs(0) - 1) & (t == pl.num_programs(1) - 1)
+    W = acc.shape[0] // nout  # accumulator rows per plane
+
+    @pl.when(first)
+    def _():
+        cur[0] = 0
+        cur[1] = 0
+        acc[:] = jnp.zeros_like(acc)
+
+    lane_v = lane[0]
+    qk = [x[0] for x in q_keys]
+    live = qocc[0] > 0
+    cnt, d_first, pay_sel = _walk(D, K, t_keys, t_occ, t_pays, qk, lane_v, live)
+    cnt_out[0] = cnt
+    dfirst_out[0] = d_first
+
+    # candidate block: K stacked rounds of the (8,128) query tile
+    occ_cand = jnp.concatenate(
+        [(live & (cnt > j)).astype(I32) for j in range(K)], axis=0)
+    cand = ([jnp.concatenate([x] * K, axis=0) for x in qk]
+            + [jnp.concatenate([pay_sel[j][i] for j in range(K)], axis=0)
+               for i in range(npay)]
+            + [jnp.concatenate([x[0]] * K, axis=0) for x in q_spay])
+
+    # in-block pack (front-compact, order preserved)
+    flat = (jax.lax.broadcasted_iota(I32, occ_cand.shape, 0) * L
+            + jax.lax.broadcasted_iota(I32, occ_cand.shape, 1))
+    rank = _flat_cumsum_excl(occ_cand, mosaic)
+    shift = (flat - rank) * occ_cand
+    moved, _ = route(cand, occ_cand, shift, "pack", mosaic=mosaic)
+    # Mosaic lowers integer reductions via an unsupported i64 proxy on
+    # v5e; f32 is exact for block counts < 2^24
+    arrivals = jnp.sum(occ_cand.astype(jnp.float32)).astype(I32)
+
+    # merge into the cursor accumulator
+    c, alen = cur[0], cur[1]
+    total_now = alen + arrivals
+    pad_rows = W - K * 8
+    zpad = jnp.zeros((pad_rows, L), I32)
+    for i in range(nout):
+        buf = jnp.concatenate([moved[i], zpad], axis=0)      # (W, L)
+        buf = _flat_roll_dyn(buf, alen, mosaic)               # no wrap: < W*L
+        acc[i * W:(i + 1) * W, :] = acc[i * W:(i + 1) * W, :] + buf
+    full = total_now >= _FLUSH_ROWS * L
+    space = c + _FLUSH_ROWS <= out_row_limit
+
+    def flush(row0):
+        copies = []
+        for i in range(nout):
+            dma = pltpu.make_async_copy(
+                acc.at[pl.ds(i * W, _FLUSH_ROWS), :],
+                outs[i].at[pl.ds(jnp.minimum(row0, out_row_limit),
+                                 _FLUSH_ROWS), :],
+                sem.at[i])
+            dma.start()
+            copies.append(dma)
+        for dma in copies:
+            dma.wait()
+
+    @pl.when(full & space)
+    def _():
+        flush(c)
+
+    @pl.when(full)
+    def _():
+        # retire the flushed rows: shift the window down by _FLUSH_ROWS
+        rowi = jax.lax.broadcasted_iota(I32, (W, L), 0)
+        for i in range(nout):
+            w = acc[i * W:(i + 1) * W, :]
+            if mosaic:
+                w = pltpu.roll(w, W - _FLUSH_ROWS, 0)
+            else:
+                w = jnp.roll(w, W - _FLUSH_ROWS, 0)
+            acc[i * W:(i + 1) * W, :] = jnp.where(rowi < W - _FLUSH_ROWS, w, 0)
+        cur[0] = c + _FLUSH_ROWS
+        cur[1] = total_now - _FLUSH_ROWS * L
+
+    @pl.when(~full)
+    def _():
+        cur[1] = total_now
+
+    # drain the carry window on the final step (reads the post-update
+    # cursor; over-writes past the live prefix are zeroed host-side)
+    @pl.when(last)
+    def _():
+        flush(cur[0])
+
+
+def fused_probe_emit_planes(tables: LaneTables, s: Table, out_capacity: int,
+                            key: str = "key", interpret: bool = False):
+    """Sort+PAD the probe side, then one fused walk+compact+write kernel.
+
+    Returns (out_planes [nout x i32[out_capacity] — inline matches
+    front-compacted, garbage beyond the inline total], cnt, d_first,
+    qk_planes, spay_planes, qocc, lane_p, probe_overflow). Plane order:
+    key planes, R pay planes, S pay planes."""
+    if interpret is False and jax.default_backend() == "cpu":
+        interpret = True
+    plan = tables.plan
+    D, K, npart, probe_cap = plan.depth, plan.inline_k, plan.npart, plan.probe_cap
+    sk = s.col(key)
+    valid = s.valid_mask()
+    h = hash_keys(sk, plan.pbits + 7, SALT_LANE)
+    p = (h >> 7).astype(I32)
+    lane = (h & (L - 1)).astype(I32)
+    bucket_p = jnp.where(valid, p, npart).astype(I32)
+
+    kp = list(col_planes(sk))
+    pays = [pl_ for n in s.names if n != key for pl_ in col_planes(s.col(n))]
+    ops = barrier((bucket_p, lane, *kp, *pays))
+    sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=True)
+    bp_s = sorted_ops[0]
+    rest = [x.astype(I32) for x in sorted_ops[1:]]
+
+    rank = _rank_in_group(bp_s)
+    live = bp_s < npart
+    n_live = jnp.sum(valid.astype(I32))
+    overflow = jnp.any(live & (rank >= probe_cap))
+    dest = jnp.where(live & (rank < probe_cap),
+                     bp_s * probe_cap + rank, npart * probe_cap)
+    padded, qocc = pad(rest, dest, n_live, npart * probe_cap,
+                       interpret=interpret)
+    lane_p = padded[0]
+    qk_p = padded[1:1 + len(kp)]
+    spay_p = padded[1 + len(kp):]
+
+    nkp, npay, nspay = len(tables.key_planes), len(tables.pay_planes), len(spay_p)
+    nout = nkp + npay + nspay
+    qrows = probe_cap // L
+    grid = (npart, qrows // 8)
+    tspec = pl.BlockSpec((1, D, L), lambda pi, t: (pi, 0, 0),
+                         memory_space=pltpu.VMEM)
+    qspec = pl.BlockSpec((1, 8, L), lambda pi, t: (pi, t, 0),
+                         memory_space=pltpu.VMEM)
+
+    def q3(x):
+        return x.reshape(npart, qrows, L)
+
+    W = 2 * _FLUSH_ROWS
+    assert K * 8 <= _FLUSH_ROWS  # arrivals/step must fit one flush window
+    out_rows = (out_capacity + L - 1) // L + W
+    out_row_limit = out_rows - _FLUSH_ROWS
+    kern = functools.partial(_fused_probe_kernel, D, K, nkp, npay, nspay,
+                             out_row_limit, not interpret)
+    call = pl.pallas_call(
+        kern, grid=grid,
+        in_specs=[tspec] * (nkp + 1 + npay) + [qspec] * (nkp + 2 + nspay),
+        out_specs=[qspec] * 2 + [pl.BlockSpec(memory_space=pl.ANY)] * nout,
+        out_shape=([jax.ShapeDtypeStruct((npart, qrows, L), I32)] * 2
+                   + [jax.ShapeDtypeStruct((out_rows, L), I32)] * nout),
+        scratch_shapes=[pltpu.VMEM((nout * W, L), I32),
+                        pltpu.SMEM((2,), I32),
+                        pltpu.SemaphoreType.DMA((nout,))],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret or jax.default_backend() == "cpu")
+    with jax.enable_x64(False):
+        outs = call(*tables.key_planes, tables.occ, *tables.pay_planes,
+                    *[q3(x) for x in qk_p], q3(lane_p), q3(qocc),
+                    *[q3(x) for x in spay_p])
+    cnt = outs[0].reshape(npart * probe_cap)
+    d_first = outs[1].reshape(npart * probe_cap)
+    out_planes = [o.reshape(out_rows * L)[:out_capacity] for o in outs[2:]]
+    return (out_planes, cnt, d_first, qk_p, spay_p, qocc, lane_p, overflow)
+
+
+# ---------------------------------------------------------------------------
 # the join operator
 # ---------------------------------------------------------------------------
 
@@ -302,18 +515,21 @@ def lane_probe_emit(tables: LaneTables, s: Table, out_capacity: int,
     out_dtypes = ([s.col(key).dtype] + list(r_dtypes)
                   + [s.col(n).dtype for n in s_names])
 
-    (qk_p, spay_p, cnt, d_first, inline_pays, qocc, lane_p,
-     probe_ovf) = probe_lane_tables(tables, s, key, interpret)
+    (out_planes, cnt, d_first, qk_p, spay_p, qocc, lane_p,
+     probe_ovf) = fused_probe_emit_planes(tables, s, out_capacity, key,
+                                          interpret)
 
     u = plan.npart * plan.probe_cap
     live_q = qocc > 0
     cnt_eff = jnp.where(live_q, cnt, 0)
     total64 = jnp.sum(cnt_eff.astype(jnp.int64))
     total = jnp.minimum(total64, jnp.int64(2**31 - 1)).astype(I32)
+    inline64 = jnp.sum(jnp.minimum(cnt_eff, K).astype(jnp.int64))
+    total_inline = jnp.minimum(inline64, jnp.int64(2**31 - 1)).astype(I32)
     tail_rows = jnp.sum((cnt_eff > K).astype(I32))
-    tail_out64 = total64 - jnp.sum(jnp.minimum(cnt_eff, K).astype(jnp.int64))
+    tail_out64 = total64 - inline64
     caps_ok = (tail_rows <= plan.tail_rows_cap) & \
-        (tail_out64 <= plan.tail_out_cap)
+        (tail_out64 <= plan.tail_out_cap) & (inline64 <= out_capacity)
     ok = tables.ok & (~probe_ovf) & caps_ok
 
     nkp = len(qk_p)
@@ -322,67 +538,78 @@ def lane_probe_emit(tables: LaneTables, s: Table, out_capacity: int,
     def _nplanes(dt) -> int:
         return 2 if dt in (jnp.int64, jnp.uint64) else 1
 
-    if True:  # emit (unconditional: caller conds on `ok`)
-        # ---- tail: queries with cnt > K, compacted with PACK ----
-        def tail(_):
-            tflag = (cnt_eff > K).astype(I32)
-            pidx = jnp.arange(u, dtype=I32) // plan.probe_cap
-            tplanes, _ = pack(
-                [d_first, cnt_eff, lane_p, pidx,
-                 jnp.arange(u, dtype=I32)] , tflag)
-            tcap = plan.tail_rows_cap
-            td, tc, tl, tp, tq = [x[:tcap] for x in tplanes]
-            t_live = jnp.arange(tcap, dtype=I32) < jnp.sum(tflag)
-            counts_t = jnp.where(t_live, tc - K, 0)
-            seg, rnk, _, vout = expand_segments(counts_t, plan.tail_out_cap)
-            # matched run is contiguous in d: extra match m sits at
-            # d_first + K + rnk in the same (p, lane) bucket
-            d_pick = jnp.minimum(td[seg] + K + rnk, plan.depth - 1)
-            flat = (tp[seg] * plan.depth + d_pick) * L + tl[seg]
-            flat = jnp.clip(flat, 0, plan.npart * plan.depth * L - 1)
-            tpay = [jnp.where(vout, t.reshape(-1)[flat], 0)
-                    for t in tables.pay_planes]
-            qsrc = jnp.minimum(tq[seg], u - 1)
-            tkey = [jnp.where(vout, x[qsrc], 0) for x in qk_p]
-            tspay = [jnp.where(vout, x[qsrc], 0) for x in spay_p]
-            return vout.astype(I32), tkey, tpay, tspay
+    # ---- tail: queries with cnt > K, compacted with PACK ----
+    def tail(_):
+        tflag = (cnt_eff > K).astype(I32)
+        pidx = jnp.arange(u, dtype=I32) // plan.probe_cap
+        tplanes, _ = pack(
+            [d_first, cnt_eff, lane_p, pidx,
+             jnp.arange(u, dtype=I32)], tflag)
+        tcap = plan.tail_rows_cap
+        td, tc, tl, tp, tq = [x[:tcap] for x in tplanes]
+        t_live = jnp.arange(tcap, dtype=I32) < jnp.sum(tflag)
+        counts_t = jnp.where(t_live, tc - K, 0)
+        seg, rnk, _, vout = expand_segments(counts_t, plan.tail_out_cap)
+        # matched run is contiguous in d: extra match m sits at
+        # d_first + K + rnk in the same (p, lane) bucket
+        d_pick = jnp.minimum(td[seg] + K + rnk, plan.depth - 1)
+        flat = (tp[seg] * plan.depth + d_pick) * L + tl[seg]
+        flat = jnp.clip(flat, 0, plan.npart * plan.depth * L - 1)
+        tpay = [jnp.where(vout, t.reshape(-1)[flat], 0)
+                for t in tables.pay_planes]
+        qsrc = jnp.minimum(tq[seg], u - 1)
+        tkey = [jnp.where(vout, x[qsrc], 0) for x in qk_p]
+        tspay = [jnp.where(vout, x[qsrc], 0) for x in spay_p]
+        return vout.astype(I32), tkey, tpay, tspay
 
-        def no_tail(_):
-            z = jnp.zeros(plan.tail_out_cap, I32)
-            return (z, [z] * nkp, [z] * npay,
-                    [z] * len(spay_p))
+    def no_tail(_):
+        z = jnp.zeros(plan.tail_out_cap, I32)
+        return (z, [z] * nkp, [z] * npay,
+                [z] * len(spay_p))
 
-        t_v, t_key, t_pay, t_spay = jax.lax.cond(
-            tail_out64 > 0, tail, no_tail, operand=None)
+    t_v, t_key, t_pay, t_spay = jax.lax.cond(
+        tail_out64 > 0, tail, no_tail, operand=None)
 
-        # ---- assemble candidates: K inline blocks + tail ----
-        valid_all = jnp.concatenate(
-            [(live_q & (cnt > j)).astype(I32) for j in range(K)] + [t_v])
-        key_all = [jnp.concatenate([x] * K + [t_key[i]])
-                   for i, x in enumerate(qk_p)]
-        rpay_all = [jnp.concatenate([inline_pays[j][i] for j in range(K)]
-                                    + [t_pay[i]])
-                    for i in range(npay)]
-        spay_all = [jnp.concatenate([x] * K + [t_spay[i]])
-                    for i, x in enumerate(spay_p)]
+    # splice: zero the fused buffer past the inline prefix (flush windows
+    # over-write), then PAD the tail rows to start at total_inline and add
+    slot_live = jnp.arange(out_capacity, dtype=I32) < total_inline
+    tail_planes = t_key + t_pay + t_spay
+    tail_n = jnp.minimum(
+        jnp.sum(t_v), jnp.maximum(out_capacity - total_inline, 0))
+    tail_dest = total_inline + jnp.arange(plan.tail_out_cap, dtype=I32)
+    padded_tail, _ = pad(tail_planes, tail_dest, tail_n, out_capacity,
+                         interpret=interpret)
+    merged = [jnp.where(slot_live, p, 0) + q
+              for p, q in zip(out_planes, padded_tail)]
 
-        packed, _ = pack(key_all + rpay_all + spay_all, valid_all)
-        packed = [x[:out_capacity] if x.shape[0] >= out_capacity
-                  else jnp.concatenate([x, jnp.zeros(out_capacity - x.shape[0], I32)])
-                  for x in packed]
+    # regroup planes into named columns
+    cols = {}
+    pos = 0
+    groups = [(key, nkp)]
+    groups += [(f"r_{n}", _nplanes(dt))
+               for n, dt in zip(r_names, r_dtypes)]
+    groups += [(f"s_{n}", _nplanes(s.col(n).dtype)) for n in s_names]
+    for (name, npl), dt in zip(groups, out_dtypes):
+        cols[name] = planes_col(
+            tuple(p.astype(jnp.uint32) for p in merged[pos:pos + npl]), dt)
+        pos += npl
+    return Table(cols, total), ok
 
-        # regroup planes into named columns
-        cols = {}
-        pos = 0
-        groups = [(key, nkp)]
-        groups += [(f"r_{n}", _nplanes(dt))
-                   for n, dt in zip(r_names, r_dtypes)]
-        groups += [(f"s_{n}", _nplanes(s.col(n).dtype)) for n in s_names]
-        for (name, npl), dt in zip(groups, out_dtypes):
-            cols[name] = planes_col(
-                tuple(p.astype(jnp.uint32) for p in packed[pos:pos + npl]), dt)
-            pos += npl
-        return Table(cols, total), ok
+
+def lane_path_taken(r: Table, s: Table, out_capacity: int, key: str = "key",
+                    plan: LanePlan | None = None) -> jnp.ndarray:
+    """The `ok` flag lane_hash_join conds on — True iff the compiled lane
+    path handles this input (no bucket-depth / probe-partition / tail
+    violation). The bench runner records it so a fallback can never
+    masquerade as a lane measurement again (VERDICT r2 item 6)."""
+    if plan is None:
+        plan = plan_lane(r.capacity, s.capacity, out_capacity=out_capacity)
+    tables = build_lane_tables(r, plan, key)
+    _, ok = lane_probe_emit(tables, s, out_capacity, key=key,
+                            r_names=[n for n in r.names if n != key],
+                            r_dtypes=[r.col(n).dtype for n in r.names
+                                      if n != key])
+    return ok
 
 
 def lane_hash_join(r: Table, s: Table, out_capacity: int, key: str = "key",
