@@ -54,6 +54,64 @@ def test_partition_overflow_flag():
     assert bool(overflow)
 
 
+def test_lsd_radix_sort_matches_numpy():
+    """C5: the Pallas 1-bit-split LSD sort (interpret mode) against a
+    numpy stable sort — duplicates, live-prefix padding, multiple
+    carried value planes."""
+    from tpq.kernels.radix_sort import lsd_radix_sort
+
+    rng = np.random.default_rng(5)
+    n, n_live = 5000, 4321
+    keys = rng.integers(0, 1 << 20, size=n).astype(np.int64)
+    vals = rng.integers(0, 1 << 31, size=n).astype(np.int32)
+    klo = (keys & 0xFFFFFFFF).astype(np.uint32)
+    khi = (keys >> 32).astype(np.uint32)
+
+    out = lsd_radix_sort([jnp.asarray(klo), jnp.asarray(khi)],
+                         [jnp.asarray(vals)], jnp.int32(n_live), key_bits=20)
+    got_keys = (np.asarray(out[0]).astype(np.uint64)
+                | (np.asarray(out[1]).astype(np.uint64) << 32)).astype(np.int64)
+    got_vals = np.asarray(out[2])
+
+    order = np.argsort(keys[:n_live], kind="stable")
+    assert np.array_equal(got_keys[:n_live], keys[:n_live][order])
+    assert np.array_equal(got_vals[:n_live], vals[:n_live][order])
+
+
+def test_lsd_radix_sort_bits_arbitrary_sequence():
+    """Composite-key LSD over an arbitrary bit sequence (the merge
+    path's (side, key, invalid) ordering uses this form)."""
+    from tpq.kernels.radix_sort import lsd_radix_sort_bits
+
+    rng = np.random.default_rng(6)
+    n = 3000
+    a = rng.integers(0, 8, size=n).astype(np.int32)    # 3 bits
+    b = rng.integers(0, 2, size=n).astype(np.int32)    # 1 bit, major
+    idx = np.arange(n, dtype=np.int32)
+    specs = [(0, 0), (0, 1), (0, 2), (1, 0)]           # a LSD, then b
+    out = lsd_radix_sort_bits(
+        [jnp.asarray(a), jnp.asarray(b), jnp.asarray(idx)], specs)
+    order = np.lexsort((idx, a, b))
+    assert np.array_equal(np.asarray(out[0]), a[order])
+    assert np.array_equal(np.asarray(out[2]), idx[order])
+
+
+def test_merge_join_radix_engine_matches_lax():
+    """merge_join(sort_engine="radix") — C5 wired into the merge path —
+    is row-identical to the lax-sorted engine, negative keys included."""
+    from tpq.ops.merge_join import merge_join
+
+    r = datagen.gen_relation_np(800, 200, payloads=1, seed=91)
+    s = datagen.gen_relation_np(1200, 200, payloads=1, seed=92)
+    r["key"][:50] -= 1 << 40  # negative keys exercise the sign bias
+    s["key"][:70] -= 1 << 40
+    R, S = Table.from_numpy(r), Table.from_numpy(s)
+    a = merge_join(R, S, 1 << 13)
+    b = merge_join(R, S, 1 << 13, sort_engine="radix", key_bits=64)
+    assert int(a.num_rows) == int(b.num_rows)
+    _canon_equal(a, b)
+
+
 def test_radix_sort_perm_matches_numpy():
     rng = np.random.default_rng(2)
     keys = rng.integers(np.iinfo(np.int64).min, np.iinfo(np.int64).max, 4096,

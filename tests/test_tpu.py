@@ -32,7 +32,8 @@ def _oracle_join(oracle, tmp_path, r, s, algo="hash"):
     return colio.load(str(po))
 
 
-@pytest.mark.parametrize("impl,algo", [("sorted", "hash"), ("rh", "hash"), (None, "merge")])
+@pytest.mark.parametrize("impl,algo", [("sorted", "hash"), ("rh", "hash"),
+                                       ("lane", "hash"), (None, "merge")])
 def test_join_on_tpu(oracle, tmp_path, relations, impl, algo):
     r, s = relations
     R, S = Table.from_numpy(r), Table.from_numpy(s)
@@ -60,6 +61,50 @@ def test_aggregate_filter_pipeline_on_tpu(oracle, tmp_path, relations):
     pipe = jit_pipeline(1 << 13)
     res = pipe(R, S, 512)
     assert int(res.num_rows) > 0
+
+
+def test_lane_path_taken_on_tpu(relations):
+    """The compiled lane path must actually run (ok=True) on uniform keys
+    at smoke scale — guards the round-2 silent-fallback failure mode on
+    the real chip."""
+    from tpq.kernels.lane_table import lane_path_taken
+
+    r, s = relations
+    R, S = Table.from_numpy(r), Table.from_numpy(s)
+    assert bool(jax.jit(lambda a, b: lane_path_taken(a, b, 1 << 13))(R, S))
+
+
+def test_ragged_all_to_all_degenerate_on_tpu(relations):
+    """Executes the ragged_all_to_all rung (BASELINE.json L5) for real:
+    XLA:CPU has no ThunkEmitter for it (tests/test_dist.py skip), so the
+    1-device degenerate exchange on the chip is the rung's only
+    executable coverage until a real slice is attached."""
+    from functools import partial
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from tpq.dist import make_mesh
+    from tpq.dist.exchange import exchange
+    from tpq.dist.mesh import AXIS, owner_of
+
+    mesh = make_mesh(1)
+    r, _ = relations
+    T = Table.from_numpy(r)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=({k: P(AXIS) for k in T.names}, P()),
+             out_specs=({k: P(AXIS) for k in T.names}, P(AXIS), P(AXIS)))
+    def body(cols, n):
+        t = Table(cols, n)
+        recv, ovf = exchange(t, owner_of(t.col("key"), 1), AXIS, 1,
+                             t.capacity, impl="ragged")
+        return dict(recv.columns), recv.num_rows[None].astype(np.int32), ovf[None]
+
+    cols, nrows, ovf = body(T.columns, T.num_rows)
+    assert int(np.asarray(ovf)[0]) == 0
+    assert int(np.asarray(nrows)[0]) == len(r["key"])
+    got = np.sort(np.asarray(cols["key"])[:int(nrows[0])])
+    assert np.array_equal(got, np.sort(r["key"]))
 
 
 def test_determinism_on_tpu(relations):

@@ -80,12 +80,20 @@ _register(_c(
     join=JoinConfig(out_capacity_factor=2.0),
 ))
 
-# config 3 — zipf theta=1.0 with skew handling
+# config 3 — zipf theta=1.0 skew (BASELINE.json L9) on the PROBE side vs
+# a uniform build. A zipf x zipf pair at these sizes joins to
+# sum_k cnt_r(k)*cnt_s(k) ~ (N/ln nkeys)^2 ~ 8e9 rows — hundreds of GB
+# that no engine (the reference included) could materialize, so the
+# benchable reading of L9 keeps the build side uniform and puts the
+# theta=1.0 skew where it stresses the engine: the probe partitions and
+# the exchange. The hot probe partition overflows the lane plan's
+# static caps, exercising the L5-named "sort-merge fallback for
+# high-skew keys" (the bench row is labeled with the fallback).
 _register(_c(
     "zipf_skew",
-    r=RelationSpec(rows=1 << 20, nkeys=1 << 16, payloads=1, seed=1, kind="zipf"),
-    s=RelationSpec(rows=1 << 20, nkeys=1 << 16, payloads=1, seed=2, kind="zipf"),
-    join=JoinConfig(out_capacity_factor=64.0),
+    r=RelationSpec(rows=1 << 20, nkeys=1 << 20, payloads=1, seed=1),
+    s=RelationSpec(rows=1 << 20, nkeys=1 << 20, payloads=1, seed=2, kind="zipf"),
+    join=JoinConfig(out_capacity_factor=4.0),  # same static shapes as config 1 => shares its compiled programs
 ))
 
 # config 4 — full pipeline: filter -> hash join -> hash aggregate, 100M fact

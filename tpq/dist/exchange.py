@@ -83,6 +83,8 @@ def exchange_ragged(table: Table, dest: jnp.ndarray, axis: str, nchips: int,
     transposed size matrix, obtained with one dense all_to_all of the
     counts vector (SURVEY.md §2.2 D2).
     """
+    from tpq.ops.union_join import col_planes, planes_col
+
     bucketed, counts, overflow = bucket_by_dest(table, dest, nchips, bucket_capacity)
     input_offsets = (jnp.arange(nchips, dtype=jnp.int32) * bucket_capacity)
     send_sizes = counts
@@ -94,10 +96,18 @@ def exchange_ragged(table: Table, dest: jnp.ndarray, axis: str, nchips: int,
     out_cap = nchips * bucket_capacity
     recv_cols = {}
     for name, col in bucketed.items():
-        out_buf = jnp.zeros(out_cap, col.dtype)
-        recv_cols[name] = jax.lax.ragged_all_to_all(
-            col, out_buf, input_offsets, send_sizes,
-            my_offsets_there, recv_sizes, axis_name=axis)
+        # ship 32-bit planes: XLA's x64-rewrite pass has no rule for a
+        # 64-bit ragged-all-to-all (verified on the v5e AOT compiler:
+        # "rewriting is not implemented ... ragged-all-to-all s64") and
+        # the wire bytes are identical either way
+        planes = col_planes(col)
+        moved = []
+        for p in planes:
+            out_buf = jnp.zeros(out_cap, p.dtype)
+            moved.append(jax.lax.ragged_all_to_all(
+                p, out_buf, input_offsets, send_sizes,
+                my_offsets_there, recv_sizes, axis_name=axis))
+        recv_cols[name] = planes_col(tuple(moved), col.dtype)
     total = jnp.sum(recv_sizes).astype(jnp.int32)
     return Table(recv_cols, total), overflow
 

@@ -60,17 +60,26 @@ def sort_table_by_key(t: Table, key: str = "key") -> Table:
     return Table(cols, t.num_rows)
 
 
-def merge_join(r: Table, s: Table, out_capacity: int, key: str = "key") -> Table:
+def merge_join(r: Table, s: Table, out_capacity: int, key: str = "key",
+               sort_engine: str = "lax", key_bits: int = 64) -> Table:
     """Inner equi-join R ⋈ S on `key`. Returns Table with static capacity
     `out_capacity`; .num_rows is the true match count (check overflow).
 
-    Realized by the gather-free union-sort engine (tpq/ops/union_join.py):
-    the union sort IS the merge (both relations co-sorted by key), emission
-    is scan-based. This module keeps the legacy searchsorted variant below
-    as a differential-test twin."""
+    Realized by the union-sort engine (tpq/ops/union_join.py): the union
+    sort IS the merge (both relations co-sorted by key), emission is
+    scan-based. sort_engine="radix" runs the sort on C5's Pallas LSD
+    radix kernel (tpq/kernels/radix_sort.py) — the genuinely distinct
+    radix-sorted merge path of BASELINE.json:L5, with `key_bits`
+    narrowing the pass count when the key domain is bounded;
+    sort_engine="lax" (default) uses the one-shot multi-operand
+    `lax.sort`, which measures faster per call at benchmark shapes on
+    v5e but compiles pathologically (see radix_sort.py docstring for
+    the measured comparison). This module keeps the legacy searchsorted
+    variant below as a differential-test twin."""
     from tpq.ops.union_join import union_join
 
-    return union_join(r, s, out_capacity, key=key)
+    return union_join(r, s, out_capacity, key=key,
+                      sort_engine=sort_engine, key_bits=key_bits)
 
 
 def _legacy_merge_join(r: Table, s: Table, out_capacity: int, key: str = "key") -> Table:

@@ -111,6 +111,8 @@ def union_join(
     dmax: int = 2,
     tail_rows_cap: int | None = None,
     tail_out_cap: int | None = None,
+    sort_engine: str = "lax",
+    key_bits: int = 64,
 ) -> Table:
     """Inner equi-join R ⋈ S on `key` (see module docstring)."""
     cr, cs = r.capacity, s.capacity
@@ -143,10 +145,35 @@ def union_join(
         s_slices[n] = slice(len(val_ops), len(val_ops) + len(ps))
         val_ops += [jnp.concatenate([zr, p]) for p in ps]
 
-    ops = jax.lax.optimization_barrier((inv, k, side, *val_ops))
-    sorted_ops = jax.lax.sort(ops, num_keys=3, is_stable=True)
-    inv_s, k_s, side_s = sorted_ops[0], sorted_ops[1], sorted_ops[2]
-    vals_s = list(sorted_ops[3:])
+    if sort_engine == "lax":
+        ops = jax.lax.optimization_barrier((inv, k, side, *val_ops))
+        sorted_ops = jax.lax.sort(ops, num_keys=3, is_stable=True)
+        inv_s, k_s, side_s = sorted_ops[0], sorted_ops[1], sorted_ops[2]
+        vals_s = list(sorted_ops[3:])
+    elif sort_engine == "radix":
+        # C5's Pallas LSD radix engine in place of lax.sort: bit order
+        # (LSD) side, key low->high (sign-biased hi plane so unsigned
+        # bit order == signed i64 order), invalid last. key_bits < 64
+        # narrows the passes when the key domain is known bounded.
+        from tpq.kernels.radix_sort import lsd_radix_sort_bits
+
+        klo, khi = col_planes(k.astype(jnp.int64))  # 2 planes for any key dtype
+        khi_b = (khi ^ jnp.uint32(0x80000000)).astype(I32)
+        planes = [inv.astype(I32), klo.astype(I32), khi_b,
+                  side, *[v.astype(I32) for v in val_ops]]
+        nb = min(key_bits, 64)
+        specs = [(3, 0)]
+        specs += [(1, b) for b in range(min(nb, 32))]
+        specs += [(2, b) for b in range(max(0, nb - 32))]
+        specs.append((0, 0))
+        sortp = lsd_radix_sort_bits(planes, specs)
+        inv_s, side_s = sortp[0], sortp[3]
+        k_s = planes_col(
+            (sortp[1].astype(jnp.uint32),
+             sortp[2].astype(jnp.uint32) ^ jnp.uint32(0x80000000)), k.dtype)
+        vals_s = [v.astype(jnp.uint32) for v in sortp[4:]]
+    else:
+        raise ValueError(f"unknown sort_engine {sort_engine!r}")
     inv_s, k_s, side_s = barrier((inv_s, k_s, side_s))
 
     valid = inv_s == 0
