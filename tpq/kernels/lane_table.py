@@ -45,8 +45,10 @@ from tpq.ops._expand import barrier, expand_segments
 from tpq.ops.union_join import col_planes, planes_col
 
 I32 = jnp.int32
+I64 = jnp.int64
 L = 128
 SALT_LANE = 0x1A9E0001
+SALT_H2 = 0x1A9E0002
 
 
 @dataclass(frozen=True)
@@ -137,13 +139,32 @@ def build_lane_tables(r: Table, plan: LanePlan, key: str = "key",
     valid = r.valid_mask()
     h = hash_keys(rk, plan.pbits + 7, SALT_LANE)
     bucket = jnp.where(valid, h, plan.nbuckets).astype(I32)
+    # Single-comparator sort key: (bucket << 32) | h2. Sorting by a
+    # 32-bit secondary hash instead of the full key halves the lax.sort
+    # comparator chain (measured: each extra sort KEY costs ~0.6 ms/M on
+    # v5e and multiplies the XLA:TPU compile blowup). Equal keys still
+    # land contiguously in d — they share h2 — UNLESS two distinct keys
+    # in one bucket collide on all 32 h2 bits; that hazard is detected
+    # exactly below and routes to the sorted fallback via `ok` (expected
+    # rate: #same-bucket pairs x 2^-32 ~ 1e-3 at 1M rows).
+    h2 = hash_keys(rk, 32, SALT_H2).astype(I64) & jnp.int64(0xFFFFFFFF)
+    comp = (bucket.astype(I64) << jnp.int64(32)) | h2
 
     kp = list(col_planes(rk))
     pays = [p for n in r.names if n != key for p in col_planes(r.col(n))]
-    ops = barrier((bucket, *kp, *pays))
-    sorted_ops = jax.lax.sort(ops, num_keys=1 + len(kp), is_stable=True)
-    bucket_s = sorted_ops[0]
+    ops = barrier((comp, *kp, *pays))
+    sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=True)
+    comp_s = sorted_ops[0]
+    bucket_s = (comp_s >> jnp.int64(32)).astype(I32)
     planes_s = [x.astype(I32) for x in sorted_ops[1:]]
+
+    kp_s = planes_s[:len(kp)]
+    same_comp = comp_s[1:] == comp_s[:-1]
+    diff_key = jnp.zeros_like(same_comp)
+    for a in kp_s:
+        diff_key = diff_key | (a[1:] != a[:-1])
+    live_pair = comp_s[1:] < (jnp.int64(plan.nbuckets) << jnp.int64(32))
+    hazard = jnp.any(same_comp & diff_key & live_pair)
 
     rank = _rank_in_group(bucket_s)
     live = bucket_s < plan.nbuckets
@@ -162,7 +183,7 @@ def build_lane_tables(r: Table, plan: LanePlan, key: str = "key",
                       key_planes=tiles[:len(kp)],
                       pay_planes=tiles[len(kp):],
                       occ=to_tiles(occ),
-                      ok=~overflow)
+                      ok=~overflow & ~hazard)
 
 
 # ---------------------------------------------------------------------------
@@ -222,23 +243,23 @@ def _probe_kernel(D: int, K: int, nkp: int, npay: int, *refs):
             oi += 1
 
 
-def probe_lane_tables(tables: LaneTables, s: Table, key: str = "key",
-                      interpret: bool = False):
-    """Returns (query planes dict, cnt, d_first, inline pay planes
-    [K][npay], qocc, p_idx, lane, overflow) — all in the padded
-    [npart * probe_cap] probe order."""
-    plan = tables.plan
-    D, K, npart, probe_cap = plan.depth, plan.inline_k, plan.npart, plan.probe_cap
+def _probe_layout(plan: LanePlan, s: Table, key: str,
+                  interpret: bool = False):
+    """Shared probe-side preamble: group queries by partition (one
+    1-key stable sort — `lane` is NOT carried through the sort, it is
+    recomputed from the padded key planes, saving an operand in both
+    the sort and the PAD) and pad to the [npart, probe_cap] layout.
+    Returns (qk_p, spay_p, lane_p, qocc, overflow)."""
+    npart, probe_cap = plan.npart, plan.probe_cap
     sk = s.col(key)
     valid = s.valid_mask()
     h = hash_keys(sk, plan.pbits + 7, SALT_LANE)
     p = (h >> 7).astype(I32)
-    lane = (h & (L - 1)).astype(I32)
     bucket_p = jnp.where(valid, p, npart).astype(I32)
 
     kp = list(col_planes(sk))
     pays = [pl_ for n in s.names if n != key for pl_ in col_planes(s.col(n))]
-    ops = barrier((bucket_p, lane, *kp, *pays))
+    ops = barrier((bucket_p, *kp, *pays))
     sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=True)
     bp_s = sorted_ops[0]
     rest = [x.astype(I32) for x in sorted_ops[1:]]
@@ -252,9 +273,26 @@ def probe_lane_tables(tables: LaneTables, s: Table, key: str = "key",
 
     padded, qocc = pad(rest, dest, n_live, npart * probe_cap,
                        interpret=interpret)
-    lane_p = padded[0]
-    qk_p = padded[1:1 + len(kp)]
-    spay_p = padded[1 + len(kp):]
+    qk_p = padded[:len(kp)]
+    spay_p = padded[len(kp):]
+    # lane from the padded key planes (dead slots get a garbage lane —
+    # the kernels mask them with qocc)
+    key_back = planes_col(tuple(x.astype(jnp.uint32) for x in qk_p),
+                          sk.dtype)
+    h_back = hash_keys(key_back, plan.pbits + 7, SALT_LANE)
+    lane_p = (h_back & (L - 1)).astype(I32)
+    return qk_p, spay_p, lane_p, qocc, overflow
+
+
+def probe_lane_tables(tables: LaneTables, s: Table, key: str = "key",
+                      interpret: bool = False):
+    """Returns (query planes dict, cnt, d_first, inline pay planes
+    [K][npay], qocc, p_idx, lane, overflow) — all in the padded
+    [npart * probe_cap] probe order."""
+    plan = tables.plan
+    D, K, npart, probe_cap = plan.depth, plan.inline_k, plan.npart, plan.probe_cap
+    qk_p, spay_p, lane_p, qocc, overflow = _probe_layout(
+        plan, s, key, interpret)
 
     nkp, npay = len(tables.key_planes), len(tables.pay_planes)
     qrows = probe_cap // L
@@ -419,31 +457,8 @@ def fused_probe_emit_planes(tables: LaneTables, s: Table, out_capacity: int,
         interpret = True
     plan = tables.plan
     D, K, npart, probe_cap = plan.depth, plan.inline_k, plan.npart, plan.probe_cap
-    sk = s.col(key)
-    valid = s.valid_mask()
-    h = hash_keys(sk, plan.pbits + 7, SALT_LANE)
-    p = (h >> 7).astype(I32)
-    lane = (h & (L - 1)).astype(I32)
-    bucket_p = jnp.where(valid, p, npart).astype(I32)
-
-    kp = list(col_planes(sk))
-    pays = [pl_ for n in s.names if n != key for pl_ in col_planes(s.col(n))]
-    ops = barrier((bucket_p, lane, *kp, *pays))
-    sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=True)
-    bp_s = sorted_ops[0]
-    rest = [x.astype(I32) for x in sorted_ops[1:]]
-
-    rank = _rank_in_group(bp_s)
-    live = bp_s < npart
-    n_live = jnp.sum(valid.astype(I32))
-    overflow = jnp.any(live & (rank >= probe_cap))
-    dest = jnp.where(live & (rank < probe_cap),
-                     bp_s * probe_cap + rank, npart * probe_cap)
-    padded, qocc = pad(rest, dest, n_live, npart * probe_cap,
-                       interpret=interpret)
-    lane_p = padded[0]
-    qk_p = padded[1:1 + len(kp)]
-    spay_p = padded[1 + len(kp):]
+    qk_p, spay_p, lane_p, qocc, overflow = _probe_layout(
+        plan, s, key, interpret)
 
     nkp, npay, nspay = len(tables.key_planes), len(tables.pay_planes), len(spay_p)
     nout = nkp + npay + nspay
@@ -538,20 +553,33 @@ def lane_probe_emit(tables: LaneTables, s: Table, out_capacity: int,
     def _nplanes(dt) -> int:
         return 2 if dt in (jnp.int64, jnp.uint64) else 1
 
-    # ---- tail: queries with cnt > K, compacted with PACK ----
+    # splice base: zero the fused buffer past the inline prefix (flush
+    # windows over-write garbage there)
+    slot_live = jnp.arange(out_capacity, dtype=I32) < total_inline
+    base = [jnp.where(slot_live, p, 0) for p in out_planes]
+
+    # ---- tail: queries with cnt > K. PACK carries ONLY the padded row
+    # id (1 plane over u instead of 5 — the pack pass is u-length and
+    # sequential, so plane count is its cost); everything else is
+    # re-derived by tiny tcap-sized gathers. The tail rows are then
+    # PADded into a small static window at total_inline and spliced
+    # with a dynamic-slice add — never a full out_capacity-length pad.
+    tcap = plan.tail_rows_cap
+    # dest offset within window < 2048; small out_capacity degenerates to
+    # the full-length pad (w0 = 0), same drop-beyond-capacity semantics
+    window = min(plan.tail_out_cap + 2048, out_capacity)
+
     def tail(_):
         tflag = (cnt_eff > K).astype(I32)
-        pidx = jnp.arange(u, dtype=I32) // plan.probe_cap
-        tplanes, _ = pack(
-            [d_first, cnt_eff, lane_p, pidx,
-             jnp.arange(u, dtype=I32)], tflag)
-        tcap = plan.tail_rows_cap
-        td, tc, tl, tp, tq = [x[:tcap] for x in tplanes]
-        t_live = jnp.arange(tcap, dtype=I32) < jnp.sum(tflag)
+        tplanes, n_t = pack([jnp.arange(u, dtype=I32)], tflag)
+        tq = jnp.minimum(tplanes[0][:tcap], u - 1)
+        t_live = jnp.arange(tcap, dtype=I32) < n_t
+        td, tc, tl = d_first[tq], cnt_eff[tq], lane_p[tq]
+        tp = tq // plan.probe_cap
         counts_t = jnp.where(t_live, tc - K, 0)
         seg, rnk, _, vout = expand_segments(counts_t, plan.tail_out_cap)
-        # matched run is contiguous in d: extra match m sits at
-        # d_first + K + rnk in the same (p, lane) bucket
+        # matched run is contiguous in d (same h2, checked at build):
+        # extra match m sits at d_first + K + rnk in the same bucket
         d_pick = jnp.minimum(td[seg] + K + rnk, plan.depth - 1)
         flat = (tp[seg] * plan.depth + d_pick) * L + tl[seg]
         flat = jnp.clip(flat, 0, plan.npart * plan.depth * L - 1)
@@ -560,27 +588,30 @@ def lane_probe_emit(tables: LaneTables, s: Table, out_capacity: int,
         qsrc = jnp.minimum(tq[seg], u - 1)
         tkey = [jnp.where(vout, x[qsrc], 0) for x in qk_p]
         tspay = [jnp.where(vout, x[qsrc], 0) for x in spay_p]
-        return vout.astype(I32), tkey, tpay, tspay
+
+        tail_planes = tkey + tpay + tspay
+        tail_n = jnp.minimum(
+            jnp.sum(vout.astype(I32)),
+            jnp.maximum(out_capacity - total_inline, 0))
+        w0 = jnp.clip((total_inline // 1024) * 1024, 0,
+                      max(out_capacity - window, 0))
+        # rows whose window-relative dest >= window are dropped by pad's
+        # clamp; that only happens when the output overflows out_capacity,
+        # which num_rows=total already surfaces to the caller
+        wdest = (total_inline - w0) + jnp.arange(plan.tail_out_cap,
+                                                 dtype=I32)
+        wplanes, _ = pad(tail_planes, wdest, tail_n, window,
+                         interpret=interpret)
+        out = []
+        for b, wq in zip(base, wplanes):
+            win = jax.lax.dynamic_slice(b, (w0,), (window,)) + wq
+            out.append(jax.lax.dynamic_update_slice(b, win, (w0,)))
+        return out
 
     def no_tail(_):
-        z = jnp.zeros(plan.tail_out_cap, I32)
-        return (z, [z] * nkp, [z] * npay,
-                [z] * len(spay_p))
+        return base
 
-    t_v, t_key, t_pay, t_spay = jax.lax.cond(
-        tail_out64 > 0, tail, no_tail, operand=None)
-
-    # splice: zero the fused buffer past the inline prefix (flush windows
-    # over-write), then PAD the tail rows to start at total_inline and add
-    slot_live = jnp.arange(out_capacity, dtype=I32) < total_inline
-    tail_planes = t_key + t_pay + t_spay
-    tail_n = jnp.minimum(
-        jnp.sum(t_v), jnp.maximum(out_capacity - total_inline, 0))
-    tail_dest = total_inline + jnp.arange(plan.tail_out_cap, dtype=I32)
-    padded_tail, _ = pad(tail_planes, tail_dest, tail_n, out_capacity,
-                         interpret=interpret)
-    merged = [jnp.where(slot_live, p, 0) + q
-              for p, q in zip(out_planes, padded_tail)]
+    merged = jax.lax.cond(tail_out64 > 0, tail, no_tail, operand=None)
 
     # regroup planes into named columns
     cols = {}
