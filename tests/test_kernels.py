@@ -179,3 +179,26 @@ def test_hash_keys_range():
     for bits in (1, 4, 11):
         h = np.asarray(hash_keys(keys, bits))
         assert h.min() >= 0 and h.max() < (1 << bits)
+
+
+def test_lane_h2_hazard_falls_back_exact():
+    """Two distinct keys colliding on the lane table's full (bucket, h2)
+    composite (found by offline search over random u64 keys; plan has
+    npart=8 at this capacity so bucket = 10 hash bits; note h2 is
+    bijective on keys < 2^32, so colliding pairs must differ in the
+    high word) must flip the build hazard flag — the lane path may not
+    assume key-contiguity in d — and the operator must still be exact
+    via the sorted fallback."""
+    from tpq.kernels.lane_table import lane_path_taken
+
+    k1, k2 = 7302945295039616556, 3449075177175606448  # same (bucket, h2)
+    r = {"key": np.array([k1, k2, 5, 6, 7], dtype=np.int64),
+         "p0": np.arange(5, dtype=np.int64)}
+    s = {"key": np.array([k1, k2, k1, 6], dtype=np.int64),
+         "p0": np.arange(4, dtype=np.int64) * 10}
+    R, S = Table.from_numpy(r), Table.from_numpy(s)
+    assert not bool(lane_path_taken(R, S, 1 << 8))
+    a = hash_join(R, S, 1 << 8, impl="lane")
+    b = hash_join(R, S, 1 << 8, impl="sorted")
+    assert int(a.num_rows) == int(b.num_rows) == 4
+    _canon_equal(a, b)
