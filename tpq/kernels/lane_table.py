@@ -13,10 +13,12 @@ ever gathers WITHIN a 128-lane row:
   * hash(key) -> (partition p, lane l). A partition's table is a
     [D, 128] tile set per plane: lane l's bucket is the column
     (0..D-1, l), i.e. up to D entries per lane.
-  * build: one stable sort by (bucket, key) + scan-based rank within
-    bucket (equal keys take consecutive ranks => runs are contiguous
-    in d), then the PAD mover places rows at (p*128+l)*D + d in
-    lane-major order — one transpose later the planes are [p, D, 128].
+  * build: one stable 1-key sort by the (bucket << 32) | h2 composite
+    (h2 = 32-bit secondary hash; equal keys share h2 so their runs are
+    contiguous in d — an exact cross-key h2 collision flips the build
+    hazard flag and falls back) + scan-based rank within bucket, then
+    the PAD mover places rows at (p*128+l)*D + d in lane-major order —
+    one transpose later the planes are [p, D, 128].
   * probe: queries sorted by partition only (PAD to [p, probe_cap]);
     the kernel walks d = 0..D-1, gathering table row d at each query's
     OWN lane — keys AND build payloads — entirely in-register. The
