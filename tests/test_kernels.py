@@ -11,7 +11,6 @@ from tpq.columnar import canonicalize
 from tpq.hashing import hash_keys
 from tpq.kernels.radix_partition import partition_padded, radix_histogram
 from tpq.kernels.radix_sort import msd_partition, radix_sort_perm, sort_rows
-from tpq.kernels.rh_table import plan_rh, rh_hash_join
 from tpq.ops import hash_join
 
 
@@ -144,34 +143,6 @@ def test_msd_partition_ranges_are_ordered():
         if prev_max is not None:
             assert keys[rows].min() >= prev_max
         prev_max = keys[rows].max()
-
-
-@pytest.mark.parametrize(
-    "nr,ns,nk,kind",
-    [(2000, 3000, 500, "uniform"), (2048, 2048, 64, "uniform"),
-     (3000, 3000, 1000, "zipf"), (0, 64, 10, "uniform")],
-)
-def test_rh_join_matches_sorted_impl(nr, ns, nk, kind):
-    r = datagen.gen_relation_np(nr, nk, payloads=2, seed=11, kind=kind)
-    s = datagen.gen_relation_np(ns, nk, payloads=1, seed=22, kind=kind)
-    R, S = Table.from_numpy(r), Table.from_numpy(s)
-    plan = plan_rh(R.capacity, S.capacity, target_part_rows=512)
-    a = rh_hash_join(R, S, 1 << 17, plan=plan, interpret=True)
-    b = hash_join(R, S, 1 << 17)
-    assert int(a.num_rows) == int(b.num_rows)
-    _canon_equal(a, b)
-
-
-def test_rh_join_edge_keys():
-    im, ix = np.iinfo(np.int64).min, np.iinfo(np.int64).max
-    r = {"key": np.array([im, ix, ix, 0, -1, 5], dtype=np.int64),
-         "p0": np.arange(6, dtype=np.int64)}
-    s = {"key": np.array([ix, im, 5, 5, 7, ix, 0], dtype=np.int64),
-         "p0": np.arange(7, dtype=np.int64) * 10}
-    R, S = Table.from_numpy(r), Table.from_numpy(s)
-    a = rh_hash_join(R, S, 1 << 8, interpret=True)
-    b = hash_join(R, S, 1 << 8)
-    _canon_equal(a, b)
 
 
 def test_hash_keys_range():

@@ -32,7 +32,7 @@ def _oracle_join(oracle, tmp_path, r, s, algo="hash"):
     return colio.load(str(po))
 
 
-@pytest.mark.parametrize("impl,algo", [("sorted", "hash"), ("rh", "hash"),
+@pytest.mark.parametrize("impl,algo", [("sorted", "hash"),
                                        ("lane", "hash"), (None, "merge")])
 def test_join_on_tpu(oracle, tmp_path, relations, impl, algo):
     r, s = relations

@@ -153,7 +153,7 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="single_chip_1m", choices=sorted(PRESETS))
     p.add_argument("--algo", default=None, choices=[None, "hash", "merge"])
-    p.add_argument("--impl", default=None, choices=[None, "lane", "sorted", "rh"])
+    p.add_argument("--impl", default=None, choices=[None, "lane", "sorted"])
     p.add_argument("--iters", type=int, default=None)
     p.add_argument("--phases", action="store_true",
                    help="also emit the per-phase ms table of the lane join "

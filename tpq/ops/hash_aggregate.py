@@ -69,22 +69,24 @@ def hash_aggregate(t: Table, key: str = "key") -> Table:
         base = planes_col(tuple(filled[2 * j: 2 * j + 2]), I64)
         out_cols[f"sum_{n}"] = jnp.where(is_end, cums[j] - base, 0)
 
-    # compact group rows (at end positions) to the front: one stable flag
-    # sort carrying all output columns as planes
-    flag = barrier(jnp.where(is_end, 0, 1).astype(jnp.uint8))
+    # compact group rows (at end positions) to the front with the PACK
+    # mover (tpq/kernels/move.py) — one linear Pallas pass instead of a
+    # full-table flag sort (lax.sort scales superlinearly past ~2M rows,
+    # BASELINE.md #19; the 100M-row config-4 aggregate sits here)
+    from tpq.kernels.move import pack
+
     layout: list[tuple[str, int]] = []
     flat: list[jnp.ndarray] = []
     for n, col in out_cols.items():
         ps = col_planes(col)
         layout.append((n, len(ps)))
         flat += list(ps)
-    res = jax.lax.sort((flag, *flat), num_keys=1, is_stable=True)
-    n_groups = jnp.sum(is_end, dtype=I32)
-    cols, pos = {}, 1
+    packed, n_groups = pack([p.astype(I32) for p in flat],
+                            is_end.astype(I32))
+    cols, pos = {}, 0
     for n, cnt in layout:
-        cols[n] = planes_col(tuple(res[pos + j] for j in range(cnt)),
+        cols[n] = planes_col(tuple(packed[pos + j].astype(jnp.uint32)
+                                   for j in range(cnt)),
                              out_cols[n].dtype)
         pos += cnt
-    live = i < n_groups
-    cols = {n: jnp.where(live, c, 0) for n, c in cols.items()}
-    return Table(cols, n_groups)
+    return Table(cols, n_groups.astype(I32))
