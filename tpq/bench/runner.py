@@ -124,16 +124,17 @@ def run_config(cfg: BenchConfig, hbm_bw: float | None = None, trace_dir: str | N
         total_bytes = sum(b.total for b in byte_model.values())
         results.append(roofline.RooflineResult(
             f"join_{cfg.join.algo}_{cfg.join.impl}", dt, total_bytes, hbm_bw, cfg.s.rows))
-        if cfg.join.algo == "hash" and cfg.join.impl == "lane":
-            # honesty guard (VERDICT r2 item 6): a lane bench row must say
-            # whether the compiled path actually ran or the sorted
-            # fallback was measured under the lane label (round 2's bug)
-            from tpq.kernels.lane_table import lane_path_taken
-
-            lane_ok = bool(jax.jit(
-                lambda a, b: lane_path_taken(a, b, out_cap))(r, s))
-            results[-1].op = ("join_hash_lane" if lane_ok
-                              else "join_hash_lane_FELL_BACK_TO_SORTED")
+        if cfg.join.algo == "hash" and cfg.join.impl in ("lane", "skew"):
+            # honesty guard (VERDICT r2 item 6): a lane/skew bench row must
+            # say whether the compiled path actually ran or the sorted
+            # fallback was measured under its label (round 2's bug)
+            if cfg.join.impl == "lane":
+                from tpq.kernels.lane_table import lane_path_taken as _taken
+            else:
+                from tpq.ops.skew_join import skew_path_taken as _taken
+            ok = bool(jax.jit(lambda a, b: _taken(a, b, out_cap))(r, s))
+            results[-1].op = (f"join_hash_{cfg.join.impl}" if ok
+                              else f"join_hash_{cfg.join.impl}_FELL_BACK_TO_SORTED")
 
     rows = [res.row() for res in results]
     for rec in rows:
@@ -153,7 +154,7 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="single_chip_1m", choices=sorted(PRESETS))
     p.add_argument("--algo", default=None, choices=[None, "hash", "merge"])
-    p.add_argument("--impl", default=None, choices=[None, "lane", "sorted"])
+    p.add_argument("--impl", default=None, choices=[None, "lane", "sorted", "skew"])
     p.add_argument("--iters", type=int, default=None)
     p.add_argument("--phases", action="store_true",
                    help="also emit the per-phase ms table of the lane join "

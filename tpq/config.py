@@ -93,7 +93,10 @@ _register(_c(
     "zipf_skew",
     r=RelationSpec(rows=1 << 20, nkeys=1 << 20, payloads=1, seed=1),
     s=RelationSpec(rows=1 << 20, nkeys=1 << 20, payloads=1, seed=2, kind="zipf"),
-    join=JoinConfig(out_capacity_factor=4.0),  # same static shapes as config 1 => shares its compiled programs
+    # impl="skew": single-chip heavy-hitter split (tpq/ops/skew_join.py) —
+    # heavy keys ride a broadcast mini-table, the ~uniform residual rides
+    # the compiled lane path (VERDICT r3 item 5; BASELINE.json:L9)
+    join=JoinConfig(impl="skew", out_capacity_factor=4.0),
 ))
 
 # config 4 — full pipeline: filter -> hash join -> hash aggregate, 100M fact

@@ -256,6 +256,16 @@ def _probe_layout(plan: LanePlan, s: Table, key: str,
     sk = s.col(key)
     valid = s.valid_mask()
     h = hash_keys(sk, plan.pbits + 7, SALT_LANE)
+    if npart == 1 and probe_cap == s.capacity:
+        # single-partition (broadcast) table: the probe layout is the
+        # identity — no grouping sort, no PAD. Used by the skew path's
+        # VMEM-resident mini tables (tpq/ops/skew_join.py), where the
+        # whole table is one [D, 128] tile set and every query probes it.
+        kp = [x.astype(I32) for x in col_planes(sk)]
+        pays = [p_.astype(I32) for n in s.names if n != key
+                for p_ in col_planes(s.col(n))]
+        lane_p = (h & (L - 1)).astype(I32)
+        return kp, pays, lane_p, valid.astype(I32), jnp.bool_(False)
     p = (h >> 7).astype(I32)
     bucket_p = jnp.where(valid, p, npart).astype(I32)
 
@@ -339,7 +349,8 @@ _FLUSH_ROWS = 32  # rows per output DMA; K*8 arrivals + carry < 2*_FLUSH_ROWS
 
 
 def _fused_probe_kernel(D: int, K: int, nkp: int, npay: int, nspay: int,
-                        out_row_limit: int, mosaic: bool, *refs):
+                        out_row_limit: int, mosaic: bool, flush_rows: int,
+                        *refs):
     from tpq.kernels.move import _flat_cumsum_excl, _flat_roll_dyn
     from tpq.kernels.shift_network import route
 
@@ -368,6 +379,7 @@ def _fused_probe_kernel(D: int, K: int, nkp: int, npay: int, nspay: int,
         cur[1] = 0
         acc[:] = jnp.zeros_like(acc)
 
+    F = flush_rows
     lane_v = lane[0]
     qk = [x[0] for x in q_keys]
     live = qocc[0] > 0
@@ -402,16 +414,15 @@ def _fused_probe_kernel(D: int, K: int, nkp: int, npay: int, nspay: int,
         buf = jnp.concatenate([moved[i], zpad], axis=0)      # (W, L)
         buf = _flat_roll_dyn(buf, alen, mosaic)               # no wrap: < W*L
         acc[i * W:(i + 1) * W, :] = acc[i * W:(i + 1) * W, :] + buf
-    full = total_now >= _FLUSH_ROWS * L
-    space = c + _FLUSH_ROWS <= out_row_limit
+    full = total_now >= F * L
+    space = c + F <= out_row_limit
 
     def flush(row0):
         copies = []
         for i in range(nout):
             dma = pltpu.make_async_copy(
-                acc.at[pl.ds(i * W, _FLUSH_ROWS), :],
-                outs[i].at[pl.ds(jnp.minimum(row0, out_row_limit),
-                                 _FLUSH_ROWS), :],
+                acc.at[pl.ds(i * W, F), :],
+                outs[i].at[pl.ds(jnp.minimum(row0, out_row_limit), F), :],
                 sem.at[i])
             dma.start()
             copies.append(dma)
@@ -424,17 +435,17 @@ def _fused_probe_kernel(D: int, K: int, nkp: int, npay: int, nspay: int,
 
     @pl.when(full)
     def _():
-        # retire the flushed rows: shift the window down by _FLUSH_ROWS
+        # retire the flushed rows: shift the window down by F
         rowi = jax.lax.broadcasted_iota(I32, (W, L), 0)
         for i in range(nout):
             w = acc[i * W:(i + 1) * W, :]
             if mosaic:
-                w = pltpu.roll(w, W - _FLUSH_ROWS, 0)
+                w = pltpu.roll(w, W - F, 0)
             else:
-                w = jnp.roll(w, W - _FLUSH_ROWS, 0)
-            acc[i * W:(i + 1) * W, :] = jnp.where(rowi < W - _FLUSH_ROWS, w, 0)
-        cur[0] = c + _FLUSH_ROWS
-        cur[1] = total_now - _FLUSH_ROWS * L
+                w = jnp.roll(w, W - F, 0)
+            acc[i * W:(i + 1) * W, :] = jnp.where(rowi < W - F, w, 0)
+        cur[0] = c + F
+        cur[1] = total_now - F * L
 
     @pl.when(~full)
     def _():
@@ -474,12 +485,12 @@ def fused_probe_emit_planes(tables: LaneTables, s: Table, out_capacity: int,
     def q3(x):
         return x.reshape(npart, qrows, L)
 
-    W = 2 * _FLUSH_ROWS
-    assert K * 8 <= _FLUSH_ROWS  # arrivals/step must fit one flush window
+    flush_rows = max(_FLUSH_ROWS, K * 8)  # arrivals/step must fit one window
+    W = 2 * flush_rows
     out_rows = (out_capacity + L - 1) // L + W
-    out_row_limit = out_rows - _FLUSH_ROWS
+    out_row_limit = out_rows - flush_rows
     kern = functools.partial(_fused_probe_kernel, D, K, nkp, npay, nspay,
-                             out_row_limit, not interpret)
+                             out_row_limit, not interpret, flush_rows)
     call = pl.pallas_call(
         kern, grid=grid,
         in_specs=[tspec] * (nkp + 1 + npay) + [qspec] * (nkp + 2 + nspay),
@@ -522,6 +533,19 @@ def lane_probe_emit(tables: LaneTables, s: Table, out_capacity: int,
     depth, probe partition, or tail) and the caller must fall back /
     renegotiate; the result rows are then meaningless but num_rows
     still reports the true total."""
+    return _probe_emit_common(fused_probe_emit_planes, tables, s,
+                              out_capacity, key, r_names, r_dtypes,
+                              interpret)
+
+
+def _probe_emit_common(fused_fn, tables: LaneTables, s: Table,
+                       out_capacity: int, key: str,
+                       r_names: list[str] | None,
+                       r_dtypes: list | None,
+                       interpret: bool) -> tuple[Table, jnp.ndarray]:
+    """Shared emit/tail/regroup half of probe-emit, parameterized by the
+    fused walk+emit kernel (v2 fused_probe_emit_planes or v3
+    tpq/kernels/lane2.fused_probe_emit2 — same output contract)."""
     plan = tables.plan
     K = plan.inline_k
     if r_names is None:
@@ -533,8 +557,7 @@ def lane_probe_emit(tables: LaneTables, s: Table, out_capacity: int,
                   + [s.col(n).dtype for n in s_names])
 
     (out_planes, cnt, d_first, qk_p, spay_p, qocc, lane_p,
-     probe_ovf) = fused_probe_emit_planes(tables, s, out_capacity, key,
-                                          interpret)
+     probe_ovf) = fused_fn(tables, s, out_capacity, key, interpret)
 
     u = plan.npart * plan.probe_cap
     live_q = qocc > 0

@@ -43,11 +43,18 @@ def hash_join(
     probed with a D-round in-register walk; falls back to the sorted
     impl under lax.cond on any static-capacity violation (high skew).
     impl="sorted": the union-sort engine (also merge_join's engine).
+    impl="skew": the heavy/light split (tpq/ops/skew_join.py) — heavy
+    probe keys ride a broadcast mini-table, the residual mass rides the
+    lane path; for zipf-skewed probes (BASELINE.json:L9).
     """
     if impl == "lane":
         from tpq.kernels.lane_table import lane_hash_join
 
         return lane_hash_join(r, s, out_capacity, key=key)
+    if impl == "skew":
+        from tpq.ops.skew_join import skew_hash_join
+
+        return skew_hash_join(r, s, out_capacity, key=key)
     if impl != "sorted":
         raise ValueError(f"unknown impl {impl!r}")
 
