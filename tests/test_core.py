@@ -97,3 +97,21 @@ def test_zipf_is_skewed():
     # rank-0 key should dominate: ~ n / (H_n) ≈ 100k/9.8 ≈ 10k hits
     assert counts[0] > 5_000
     assert counts[0] > 50 * max(1, counts[5000])
+
+
+def test_device_datagen_matches_numpy():
+    """The on-device generator (config-2/4 scale benches) is byte-equal
+    to the numpy/native stream, including at a chunk offset."""
+    import numpy as np
+
+    from tpq import datagen
+
+    ref = datagen.gen_relation_np(5000, 700, payloads=3, seed=9)
+    dev = datagen.gen_relation_device(5000, 700, payloads=3, seed=9)
+    for k in ref:
+        assert np.array_equal(np.asarray(dev.col(k))[:5000], ref[k]), k
+    # chunk offset: rows [2000, 5000) of the same stream
+    dev2 = datagen.gen_relation_device(3000, 700, payloads=3, seed=9,
+                                       row_offset=2000)
+    for k in ref:
+        assert np.array_equal(np.asarray(dev2.col(k))[:3000], ref[k][2000:]), k

@@ -160,15 +160,19 @@ def test_lane_h2_hazard_falls_back_exact():
     high word) must flip the build hazard flag — the lane path may not
     assume key-contiguity in d — and the operator must still be exact
     via the sorted fallback."""
-    from tpq.kernels.lane_table import lane_path_taken
+    from tpq.kernels.lane_table import LanePlan
+    from tpq.kernels.lane2 import lane2_path_taken
 
+    # pbits=3 pins bucket = 10 hash bits, the domain the pair was found in
+    plan = LanePlan(pbits=3, depth=16, probe_cap=1024, inline_k=4,
+                    tail_rows_cap=2048, tail_out_cap=4096)
     k1, k2 = 7302945295039616556, 3449075177175606448  # same (bucket, h2)
     r = {"key": np.array([k1, k2, 5, 6, 7], dtype=np.int64),
          "p0": np.arange(5, dtype=np.int64)}
     s = {"key": np.array([k1, k2, k1, 6], dtype=np.int64),
          "p0": np.arange(4, dtype=np.int64) * 10}
     R, S = Table.from_numpy(r), Table.from_numpy(s)
-    assert not bool(lane_path_taken(R, S, 1 << 8))
+    assert not bool(lane2_path_taken(R, S, 1 << 8, plan=plan))
     a = hash_join(R, S, 1 << 8, impl="lane")
     b = hash_join(R, S, 1 << 8, impl="sorted")
     assert int(a.num_rows) == int(b.num_rows) == 4

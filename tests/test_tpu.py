@@ -67,7 +67,7 @@ def test_lane_path_taken_on_tpu(relations):
     """The compiled lane path must actually run (ok=True) on uniform keys
     at smoke scale — guards the round-2 silent-fallback failure mode on
     the real chip."""
-    from tpq.kernels.lane_table import lane_path_taken
+    from tpq.kernels.lane2 import lane2_path_taken as lane_path_taken
 
     r, s = relations
     R, S = Table.from_numpy(r), Table.from_numpy(s)

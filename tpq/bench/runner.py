@@ -58,14 +58,14 @@ def phase_report(cfg: BenchConfig, hbm_bw: float) -> list[dict]:
     end-to-end minus the jitted stages (jit-boundary materialization +
     the final fallback-cond plumbing)."""
     from tpq.bench.timing import slope_time
-    from tpq.kernels.lane_table import (build_lane_tables, lane_hash_join,
-                                        lane_probe_emit, plan_lane,
-                                        probe_lane_tables)
+    from tpq.kernels.lane2 import (build_lane2_tables, fused_probe_emit2,
+                                   lane2_hash_join, lane2_probe_emit,
+                                   plan_lane2)
 
     r, s = gen(cfg.r), gen(cfg.s)
     jax.block_until_ready((r.columns, s.columns))
     out_cap = out_capacity_for(cfg)
-    plan = plan_lane(r.capacity, s.capacity, out_capacity=out_cap)
+    plan = plan_lane2(r.capacity, s.capacity, out_capacity=out_cap)
 
     def timed(fn, args):
         f = jax.jit(fn)
@@ -73,16 +73,21 @@ def phase_report(cfg: BenchConfig, hbm_bw: float) -> list[dict]:
         sec, _ = slope_time(f, args, reps=2)
         return sec * 1e3
 
-    t_build = timed(lambda a: build_lane_tables(a, plan), (r,))
-    tables = jax.jit(lambda a: build_lane_tables(a, plan))(r)
+    from tpq.kernels.lane_table import _probe_layout
+
+    t_build = timed(lambda a: build_lane2_tables(a, plan), (r,))
+    tables = jax.jit(lambda a: build_lane2_tables(a, plan))(r)
     jax.block_until_ready(tables.occ)
-    t_probe = timed(lambda tb, b: probe_lane_tables(tb, b)[2], (tables, s))
-    t_pe = timed(lambda tb, b: lane_probe_emit(tb, b, out_cap)[0], (tables, s))
-    t_e2e = timed(lambda a, b: lane_hash_join(a, b, out_cap), (r, s))
+    t_prep = timed(lambda b: _probe_layout(plan, b, "key")[0], (s,))
+    t_fused = timed(lambda tb, b: fused_probe_emit2(tb, b, out_cap)[0],
+                    (tables, s))
+    t_pe = timed(lambda tb, b: lane2_probe_emit(tb, b, out_cap)[0], (tables, s))
+    t_e2e = timed(lambda a, b: lane2_hash_join(a, b, out_cap), (r, s))
     return [
         {"phase": "build(sort+pad)", "ms": round(t_build, 3)},
-        {"phase": "probe(sort+pad+kernel)", "ms": round(t_probe, 3)},
-        {"phase": "emit(tail+pack)", "ms": round(t_pe - t_probe, 3)},
+        {"phase": "probe_prep(sort+pad)", "ms": round(t_prep, 3)},
+        {"phase": "fused_walk_emit(kernel)", "ms": round(t_fused - t_prep, 3)},
+        {"phase": "tail+glue", "ms": round(t_pe - t_fused, 3)},
         {"phase": "other(boundaries)", "ms": round(t_e2e - t_build - t_pe, 3)},
         {"phase": "end_to_end", "ms": round(t_e2e, 3)},
     ]
@@ -129,7 +134,7 @@ def run_config(cfg: BenchConfig, hbm_bw: float | None = None, trace_dir: str | N
             # say whether the compiled path actually ran or the sorted
             # fallback was measured under its label (round 2's bug)
             if cfg.join.impl == "lane":
-                from tpq.kernels.lane_table import lane_path_taken as _taken
+                from tpq.kernels.lane2 import lane2_path_taken as _taken
             else:
                 from tpq.ops.skew_join import skew_path_taken as _taken
             ok = bool(jax.jit(lambda a, b: _taken(a, b, out_cap))(r, s))

@@ -1,0 +1,275 @@
+"""Configs 2 and 4 at full scale (BASELINE.json:L8,L10; VERDICT r3 item
+4): chunked build-once/probe-many execution so 100M-row probe sides fit
+the 16 GiB chip alongside the build tables.
+
+Both benches:
+  * generate relations ON-DEVICE (tpq/datagen.py device twins — byte-
+    identical to the oracle's stream; a 100M-row host->device transfer
+    through the axon tunnel would otherwise dominate),
+  * build the lane tables ONCE, then stream the probe side in chunks of
+    `chunk_rows` through the compiled probe+emit (the same
+    build-once/probe-many API the distributed join uses per hop),
+  * verify against host-side numpy ground truth computed from the same
+    seed-stable streams (full-scale count check for the join; exact
+    per-group count/sum table compare for the pipeline — SURVEY.md
+    §4.4.4's sampled-verification contract, upgraded to exact
+    aggregates).
+
+Timing excludes generation and verification (the operator under test is
+the join / pipeline, BASELINE.json:L2); per-chunk outputs are consumed
+(reduced) on device so chunk buffers recycle.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpq import datagen
+from tpq.bench import roofline
+from tpq.bench.timing import force_sync
+from tpq.columnar import Table, next_pow2
+from tpq.kernels.lane2 import (build_lane2_tables, lane2_probe_emit,
+                               plan_lane2)
+
+I64 = jnp.int64
+
+
+def _consume(t: Table) -> jnp.ndarray:
+    """Device-side reduction of a chunk output: (rows, xor-of-sums) —
+    forces materialization without shipping the chunk to the host."""
+    acc = t.num_rows.astype(I64)
+    mask = t.valid_mask()
+    for c in t.columns.values():
+        acc = acc ^ jnp.sum(jnp.where(mask, c.astype(I64), 0))
+    return acc
+
+
+def bench_build_sweep(n_build: int = 10_000_000, n_probe: int = 100_000_000,
+                      payloads: int = 4, chunk_rows: int = 1 << 24,
+                      verify: bool = True, hbm_bw: float | None = None,
+                      log=print) -> dict:
+    """Config 2: 10M x 100M, 4 payload cols, probe streamed in chunks."""
+    if hbm_bw is None:
+        hbm_bw = roofline.measure_hbm_bw(size_mb=256, iters=5)
+    r_cap = next_pow2(n_build)
+    gen_r = jax.jit(lambda: datagen.gen_relation_device(
+        n_build, n_build, payloads, seed=1, capacity=r_cap).columns)
+    R = Table(gen_r(), n_build)
+    out_cap = chunk_rows * 2
+    plan = plan_lane2(r_cap, chunk_rows, out_capacity=out_cap)
+    build = jax.jit(lambda t: build_lane2_tables(t, plan))
+    r_names = [n for n in R.names if n != "key"]
+    r_dtypes = [R.col(n).dtype for n in r_names]
+
+    nchunks = (n_probe + chunk_rows - 1) // chunk_rows
+
+    def gen_c(ci):
+        rows = min(chunk_rows, n_probe - ci * chunk_rows)
+        t = datagen.gen_relation_device(rows, n_build, payloads, seed=2,
+                                        capacity=chunk_rows,
+                                        row_offset=ci * chunk_rows)
+        return t
+
+    @jax.jit
+    def probe_chunk(tables, s_cols, s_rows):
+        s = Table(s_cols, s_rows)
+        out, ok = lane2_probe_emit(tables, s, out_cap, key="key",
+                                   r_names=r_names, r_dtypes=r_dtypes)
+        return out.num_rows.astype(I64), _consume(out), ok
+
+    # compile + warm everything off the clock
+    tables = build(R)
+    jax.block_until_ready(tables.occ)
+    s0 = gen_c(0)
+    force_sync(probe_chunk(tables, s0.columns, s0.num_rows))
+
+    # timed sweep: build + per-chunk (gen + probe + consume), dispatched
+    # back-to-back with one data-dependent sync at the end (the only
+    # trustworthy timing on the axon tunnel — tpq/bench/timing.py).
+    # On-device gen is ~2 streaming passes and is INCLUDED in elapsed,
+    # slightly understating the join's own rows/s.
+    t0 = time.perf_counter()
+    tables = build(R)
+    total = jnp.int64(0)
+    acc = jnp.int64(0)
+    oks = []
+    for ci in range(nchunks):
+        sc = gen_c(ci)
+        rows_c, acc_c, ok = probe_chunk(tables, sc.columns, sc.num_rows)
+        total = total + rows_c
+        acc = acc ^ acc_c
+        oks.append(ok)
+    force_sync((total, acc))
+    elapsed = time.perf_counter() - t0
+    total = int(total)
+    all_ok = all(bool(o) for o in oks)
+
+    report = {
+        "config": "build_sweep_10m_100m",
+        "n_build": n_build, "n_probe": n_probe, "payloads": payloads,
+        "nchunks": nchunks, "chunk_rows": chunk_rows,
+        "elapsed_ms": elapsed * 1e3,
+        "probe_rows_per_sec": n_probe / elapsed,
+        "out_rows": total,
+        "lane_path_taken_all_chunks": all_ok,
+        "hbm_bw_gbps": hbm_bw,
+    }
+    ncols = payloads + 1
+    bm = roofline.hash_join_bytes(r_cap, ncols, nchunks * chunk_rows, ncols,
+                                  nchunks * out_cap)
+    sol_ms = sum(b.total for b in bm.values()) / hbm_bw / 1e6
+    report["sol_ms"] = sol_ms
+    report["roofline_pct"] = 100.0 * sol_ms / report["elapsed_ms"]
+
+    if verify:
+        rk = datagen.uniform_keys(n_build, n_build, seed=1)
+        sk = datagen.uniform_keys(n_probe, n_build, seed=2)
+        cr = np.bincount(rk, minlength=n_build)
+        cs = np.bincount(sk, minlength=n_build)
+        expected = int((cr.astype(np.int64) * cs.astype(np.int64)).sum())
+        report["expected_rows"] = expected
+        report["count_exact"] = (expected == total)
+        assert report["count_exact"], (expected, total)
+    log(report)
+    return report
+
+
+def _reagg(partials: list[Table], value_names: list[str]) -> Table:
+    """Exact re-aggregation of per-chunk group tables: group-by key again,
+    summing the partial counts and sums."""
+    from tpq.ops.hash_aggregate import hash_aggregate
+
+    cat = {}
+    for n in partials[0].names:
+        cat[n] = jnp.concatenate([p.col(n) for p in partials])
+    # concatenation scatters each partial's live prefix through the
+    # buffer, breaking the prefix-live invariant — compact against the
+    # explicit slot mask with num_rows = capacity (a smaller num_rows
+    # would prefix-mask away later partials' live rows)
+    from tpq.ops.filter import compact
+
+    valid = jnp.concatenate([p.valid_mask() for p in partials])
+    merged = compact(Table(cat, cat[partials[0].names[0]].shape[0]), valid)
+    agg = hash_aggregate(merged, key="key")
+    cols = {"key": agg.col("key"), "count": agg.col("sum_count")}
+    for n in value_names:
+        cols[n] = agg.col(f"sum_{n}")
+    return Table(cols, agg.num_rows)
+
+
+def bench_pipeline(n_dim: int = 1 << 20, n_fact: int = 100_000_000,
+                   fact_payloads: int = 2, chunk_rows: int = 1 << 24,
+                   filter_value: int = 1 << 19, verify: bool = True,
+                   hbm_bw: float | None = None, log=print) -> dict:
+    """Config 4: filter -> hash join -> hash aggregate over a 100M-row
+    fact table, chunked with exact re-aggregation."""
+    from tpq.ops.filter import filter_table
+    from tpq.ops.hash_aggregate import hash_aggregate
+
+    if hbm_bw is None:
+        hbm_bw = roofline.measure_hbm_bw(size_mb=256, iters=5)
+    dim_cap = next_pow2(n_dim)
+    dim = Table(jax.jit(lambda: datagen.gen_relation_device(
+        n_dim, n_dim, 1, seed=1, capacity=dim_cap).columns)(), n_dim)
+    out_cap = chunk_rows
+    plan = plan_lane2(dim_cap, chunk_rows, out_capacity=out_cap)
+    r_names = [n for n in dim.names if n != "key"]
+    r_dtypes = [dim.col(n).dtype for n in r_names]
+    build = jax.jit(lambda t: build_lane2_tables(t, plan))
+
+    def gen_c(ci):
+        rows = min(chunk_rows, n_fact - ci * chunk_rows)
+        return datagen.gen_relation_device(rows, n_dim, fact_payloads,
+                                           seed=2, capacity=chunk_rows,
+                                           row_offset=ci * chunk_rows)
+
+    partial_cap = next_pow2(n_dim) * 2
+
+    @jax.jit
+    def pipeline_chunk(tables, f_cols, f_rows):
+        fact = Table(f_cols, f_rows)
+        filt = filter_table(fact, "key", "lt", filter_value)
+        out, ok = lane2_probe_emit(tables, filt, out_cap, key="key",
+                                   r_names=r_names, r_dtypes=r_dtypes)
+        out = Table(out.columns, jnp.minimum(out.num_rows, out_cap))
+        agg = hash_aggregate(out, key="key")
+        return dict(agg.with_capacity(partial_cap).columns), \
+            agg.num_rows.astype(jnp.int32), ok
+
+    nchunks = (n_fact + chunk_rows - 1) // chunk_rows
+    tables = build(dim)
+    jax.block_until_ready(tables.occ)
+    f0 = gen_c(0)
+    force_sync(pipeline_chunk(tables, f0.columns, f0.num_rows))
+
+    t0 = time.perf_counter()
+    tables = build(dim)
+    partials = []
+    oks = []
+    for ci in range(nchunks):
+        fc = gen_c(ci)
+        cols, n_groups, ok = pipeline_chunk(tables, fc.columns, fc.num_rows)
+        partials.append(Table(cols, n_groups))
+        oks.append(ok)
+    value_names = [n for n in partials[0].names if n not in ("key", "count")]
+    final = _reagg(partials, value_names)
+    force_sync(final.num_rows)
+    elapsed = time.perf_counter() - t0
+
+    report = {
+        "config": "pipeline_100m",
+        "n_dim": n_dim, "n_fact": n_fact, "nchunks": nchunks,
+        "elapsed_ms": elapsed * 1e3,
+        "fact_rows_per_sec": n_fact / elapsed,
+        "groups": int(final.num_rows),
+        "lane_path_taken_all_chunks": all(bool(o) for o in oks),
+        "hbm_bw_gbps": hbm_bw,
+    }
+    nf = fact_payloads + 1
+    bm_filter = roofline.filter_bytes(nchunks * chunk_rows, nf).total
+    bm_join = sum(b.total for b in roofline.hash_join_bytes(
+        dim_cap, 2, nchunks * chunk_rows, nf, nchunks * out_cap).values())
+    bm_agg = roofline.aggregate_bytes(nchunks * out_cap, 4).total
+    sol_ms = (bm_filter + bm_join + bm_agg) / hbm_bw / 1e6
+    report["sol_ms"] = sol_ms
+    report["roofline_pct"] = 100.0 * sol_ms / report["elapsed_ms"]
+
+    if verify:
+        fk = datagen.uniform_keys(n_fact, n_dim, seed=2)
+        pays = datagen.payload_cols(n_fact, fact_payloads, seed=2)
+        dk = datagen.uniform_keys(n_dim, n_dim, seed=1)
+        dp = datagen.payload_cols(n_dim, 1, seed=1)
+        keep = fk < filter_value
+        fk2 = fk[keep]
+        dmult = np.bincount(dk, minlength=n_dim).astype(np.int64)
+        # exact int sums via np.add.at on int64
+        dsum = np.zeros(n_dim, np.int64)
+        np.add.at(dsum, dk, dp["p0"])
+        cnt_g = np.zeros(n_dim, np.int64)
+        np.add.at(cnt_g, fk2, dmult[fk2])
+        sum_rp = np.zeros(n_dim, np.int64)
+        np.add.at(sum_rp, fk2, dsum[fk2])
+        sums_f = {}
+        for j in range(fact_payloads):
+            v = np.zeros(n_dim, np.int64)
+            np.add.at(v, fk2, pays[f"p{j}"][keep] * dmult[fk2])
+            sums_f[f"p{j}"] = v
+        live = cnt_g > 0
+        exp_keys = np.nonzero(live)[0].astype(np.int64)
+        got = {k: np.asarray(v)[:int(final.num_rows)]
+               for k, v in final.columns.items()}
+        order = np.argsort(got["key"], kind="stable")
+        got = {k: v[order] for k, v in got.items()}
+        assert np.array_equal(got["key"], exp_keys), "group keys differ"
+        assert np.array_equal(got["count"], cnt_g[live]), "counts differ"
+        assert np.array_equal(got["sum_r_p0"], sum_rp[live]), "dim sums differ"
+        for j in range(fact_payloads):
+            assert np.array_equal(got[f"sum_s_p{j}"], sums_f[f"p{j}"][live]), \
+                f"fact sum p{j} differs"
+        report["groups_exact"] = True
+    log(report)
+    return report

@@ -135,3 +135,49 @@ def gen_relation(
     capacity: int | None = None,
 ) -> Table:
     return Table.from_numpy(gen_relation_np(rows, nkeys, payloads, seed, kind, theta), capacity)
+
+
+# ---------------------------------------------------------------------------
+# device-side twins (SURVEY.md §4.4.3 seed-stable contract) — config-2/4
+# scale relations are generated ON the chip: 100M-row columns are ~GBs
+# that would otherwise cross the host tunnel per run. Byte-identical to
+# the numpy/native streams (tests/test_core.py::test_device_datagen).
+# ---------------------------------------------------------------------------
+
+def _splitmix64_dev(x):
+    import jax.numpy as jnp
+
+    z = (x + jnp.uint64(GOLDEN)).astype(jnp.uint64)
+    z = (z ^ (z >> jnp.uint64(30))) * jnp.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> jnp.uint64(27))) * jnp.uint64(0x94D049BB133111EB)
+    return z ^ (z >> jnp.uint64(31))
+
+
+def _stream_dev(seed: int, idx):
+    import jax.numpy as jnp
+
+    return _splitmix64_dev(jnp.uint64(seed)
+                           ^ (idx.astype(jnp.uint64)
+                              * jnp.uint64(0xD1342543DE82EF95)))
+
+
+def gen_relation_device(rows: int, nkeys: int, payloads: int = 1,
+                        seed: int = 0, capacity: int | None = None,
+                        row_offset: int = 0) -> Table:
+    """Uniform relation generated on-device, byte-identical to
+    gen_relation(kind="uniform"). `row_offset` yields the global rows
+    [row_offset, row_offset + rows) of the stream — the chunked
+    config-2/4 benches generate each probe chunk in place."""
+    import jax.numpy as jnp
+
+    from tpq.columnar import next_pow2
+
+    cap = capacity or next_pow2(rows)
+    idx = jnp.arange(cap, dtype=jnp.uint64) + jnp.uint64(row_offset)
+    keys = (_stream_dev(seed, idx) % jnp.uint64(nkeys)).astype(jnp.int64)
+    cols = {"key": keys}
+    for j in range(payloads):
+        r = _stream_dev(seed ^ PAYLOAD_SALT,
+                        idx * np.uint64(payloads) + np.uint64(j))
+        cols[f"p{j}"] = (r >> jnp.uint64(1)).astype(jnp.int64)
+    return Table(cols, rows)

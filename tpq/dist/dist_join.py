@@ -176,13 +176,13 @@ def dist_hash_join(
 
         if use_lane:
             # build ONCE per shard; every hop/chunk below only probes
-            from tpq.kernels.lane_table import (build_lane_tables,
-                                                lane_probe_emit, plan_lane)
+            from tpq.kernels.lane2 import (build_lane2_tables,
+                                           lane2_probe_emit, plan_lane2)
 
             probe_cap_in = ex_cap if exchange_impl == "ring" else nchips * ex_cap
-            lane_plan = plan_lane(R2.capacity, probe_cap_in,
-                                  out_capacity=out_capacity_per_shard)
-            lane_tables = build_lane_tables(R2, lane_plan, key)
+            lane_plan = plan_lane2(R2.capacity, probe_cap_in,
+                                   out_capacity=out_capacity_per_shard)
+            lane_tables = build_lane2_tables(R2, lane_plan, key)
             lane_rnames = [n for n in R2.names if n != key]
             lane_rdtypes = [R2.col(n).dtype for n in lane_rnames]
 
@@ -191,8 +191,8 @@ def dist_hash_join(
             (num_rows stays the true total, so the overflow arithmetic of
             the callers below keeps working)."""
             if use_lane:
-                out_c, ok = lane_probe_emit(lane_tables, S2, cap, key,
-                                            lane_rnames, lane_rdtypes)
+                out_c, ok = lane2_probe_emit(lane_tables, S2, cap, key,
+                                             lane_rnames, lane_rdtypes)
                 return out_c, (~ok).astype(jnp.int32)
             return _local_join(algo, R2, S2, cap, key), jnp.int32(0)
 

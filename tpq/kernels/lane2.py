@@ -54,7 +54,7 @@ I32 = jnp.int32
 QROWS = 32  # query tile rows; 4 chunk-groups of (8,128)
 
 
-def plan_lane2(r_capacity: int, s_capacity: int, depth: int = 56,
+def plan_lane2(r_capacity: int, s_capacity: int, depth: int = 48,
                mean_occupancy: int = 16, inline_k: int = 4,
                out_capacity: int | None = None) -> LanePlan:
     """v3 plan: occupancy 16, probe_cap = mean partition load * 1.5
@@ -68,10 +68,14 @@ def plan_lane2(r_capacity: int, s_capacity: int, depth: int = 56,
     while npart * probe_cap < QROWS * L:  # tiny relations: one full tile
         probe_cap += 1024
     u = npart * probe_cap
+    # tail caps: every tcap-sized XLA gather in the tail path costs
+    # ~16 ms/M gathered elements, so the static caps are kept just above
+    # the Poisson expectation (P(cnt>4) ~ 0.4% of u) — measured r4: the
+    # r3-sized caps (u>>5) made tail+glue a 3.1 ms phase at config-1
     return LanePlan(pbits=pbits, depth=depth, probe_cap=probe_cap,
                     inline_k=inline_k,
-                    tail_rows_cap=max(2048, u >> 5),
-                    tail_out_cap=max(4096, min(out_capacity or u, u) >> 7))
+                    tail_rows_cap=max(2048, u >> 7),
+                    tail_out_cap=max(4096, min(out_capacity or u, u) >> 8))
 
 
 # ---------------------------------------------------------------------------

@@ -1,34 +1,39 @@
-"""C4 v2 — lane-bucket hash table: the compiled-TPU hash-join path
+"""C4 — lane-bucket hash table primitives shared by the join engines
 (SURVEY.md §2.1 C4, §7.4.1; BASELINE.json:L5 "hash join (build+probe
-with open-addressing ... tables laid out in HBM/VMEM tiles)"; VERDICT r1
-item 1; oracle twin: oracle/rh_table.h via oracle/main.cc hash_join).
+with open-addressing ... tables laid out in HBM/VMEM tiles)"; oracle
+twin: oracle/rh_table.h via oracle/main.cc hash_join).
 
 Why this shape: v5e Mosaic supports exactly ONE fast dynamic gather —
-`take_along_axis` along the 128-lane axis of one vreg row (measured
-3 G probes/s in the D-round walk, scripts/tpu_r2_probe2.py; every
-cross-sublane / cross-vreg gather form fails to compile,
-scripts/tpu_r2_design.py). So the table is laid out so a probe only
-ever gathers WITHIN a 128-lane row:
+`take_along_axis` along the 128-lane axis of one vreg row (measured in
+scripts/tpu_r2_probe2.py; every cross-sublane / cross-vreg gather form
+fails to compile — re-verified r4, scripts/tpu_r4_probes.py C). So the
+table is laid out so a probe only ever gathers WITHIN a 128-lane row:
 
-  * hash(key) -> (partition p, lane l). A partition's table is a
-    [D, 128] tile set per plane: lane l's bucket is the column
-    (0..D-1, l), i.e. up to D entries per lane.
-  * build: one stable 1-key sort by the (bucket << 32) | h2 composite
-    (h2 = 32-bit secondary hash; equal keys share h2 so their runs are
-    contiguous in d — an exact cross-key h2 collision flips the build
-    hazard flag and falls back) + scan-based rank within bucket, then
-    the PAD mover places rows at (p*128+l)*D + d in lane-major order —
-    one transpose later the planes are [p, D, 128].
-  * probe: queries sorted by partition only (PAD to [p, probe_cap]);
-    the kernel walks d = 0..D-1, gathering table row d at each query's
-    OWN lane — keys AND build payloads — entirely in-register. The
-    first K matches' payloads are selected inline; rarer multiplicities
-    (cnt > K) go to a compacted tail expanded by small gathers.
+  * hash(key) -> (partition p = top pbits, lane l = low 7 bits). A
+    partition's table is a [D, 128] tile set per plane: lane l's bucket
+    is the column (0..D-1, l), i.e. up to D entries per lane.
+  * build (build_lane_tables): one stable 1-key sort by the composite
+    (bucket << 32) | h2 (h2 = 32-bit secondary hash; equal keys share
+    h2 so their runs are contiguous in d — an exact cross-key h2
+    collision flips the build hazard flag and falls back) + scan-based
+    rank within bucket, then the PAD mover places rows at
+    (p*128+l)*D + d in lane-major order — one transpose later the
+    planes are [p, D, 128].
+  * probe layout (_probe_layout): queries grouped by partition with one
+    stable 1-key sort + PAD to [p, probe_cap] (identity when npart == 1
+    — the broadcast tables of tpq/ops/skew_join.py).
+  * walk (_walk): d = 0..D-1 rounds gathering table row d at each
+    query's OWN lane — keys AND build payloads — entirely in-register;
+    first K matches' payloads selected inline, multiplicities > K go to
+    the compacted tail (_probe_emit_common).
 
-Static-capacity violations (bucket depth > D, probe partition overflow,
-tail overflow) route the WHOLE join through the sorted impl via
-lax.cond — the reference's "sort-merge fallback for high-skew keys"
-(BASELINE.json:L5)."""
+The fused probe+emit KERNEL lives in tpq/kernels/lane2.py (v3: 32-row
+query tiles, async staged flushes); probe_lane_tables here is the
+unfused cnt-only walk used for membership probes. Static-capacity
+violations (bucket depth > D, probe partition overflow, tail overflow)
+route the whole join through the sorted engine via lax.cond — the
+reference's "sort-merge fallback for high-skew keys" (BASELINE.json:L5).
+"""
 
 from __future__ import annotations
 
@@ -69,37 +74,6 @@ class LanePlan:
     @property
     def nbuckets(self) -> int:
         return self.npart * L
-
-
-def plan_lane(r_capacity: int, s_capacity: int, depth: int = 40,
-              mean_occupancy: int = 8, probe_slack: float = 2.0,
-              inline_k: int = 4, out_capacity: int | None = None) -> LanePlan:
-    # depth: at mean occupancy 8 the bucket-load tail is compound-Poisson
-    # (duplicate keys land together) — measured max 33 at config-1 scale
-    # (1M rows, ~663k distinct keys), so 32 overflowed and silently routed
-    # EVERY benchmarked join through the sorted fallback (round 2's
-    # "lane" 122.6 ms was the fallback). 40 leaves ~5 sigma of headroom
-    # for uniform keys; genuinely skewed keys still fall back by design.
-    npart = next_pow2(max(1, r_capacity // (L * mean_occupancy)))
-    pbits = npart.bit_length() - 1
-    per_part = max(1, s_capacity // npart)
-    # PAD handles any out_len now, so probe_cap only needs 1024 (8x128
-    # sublane-tile) granularity — at per_part 1024 this halves the padded
-    # probe universe u vs the old 4096 floor (round-2: u=4M for a 1M probe)
-    probe_cap = ((int(per_part * probe_slack) + 1023) // 1024) * 1024
-    probe_cap = max(1024, probe_cap)
-    u = npart * probe_cap
-    # The tail path (queries with more than inline_k matches) expands by
-    # XLA gather, whose cost scales with the STATIC cap (~16 ms per 1M
-    # gathered on v5e) — round 2's u>>3 caps made it the dominant phase
-    # (~70% of the 122.6 ms join). inline_k=4 leaves only
-    # P(Poisson(1) > 4) ~ 0.4% of uniform queries in the tail, so small
-    # caps hold with wide margin; blowing them routes to the sorted
-    # fallback (correct, slower), never truncates.
-    return LanePlan(pbits=pbits, depth=depth, probe_cap=probe_cap,
-                    inline_k=inline_k,
-                    tail_rows_cap=max(2048, u >> 6),
-                    tail_out_cap=max(4096, min(out_capacity or u, u) >> 7))
 
 
 # ---------------------------------------------------------------------------
@@ -337,206 +311,8 @@ def probe_lane_tables(tables: LaneTables, s: Table, key: str = "key",
 
 
 # ---------------------------------------------------------------------------
-# fused probe+emit kernel: the walk, the inline-match compaction, and the
-# output write happen in ONE pass (VERDICT r2 item 2). Replaces the
-# unfused pipeline's 2+K*npay full-universe kernel outputs, the K-block
-# concatenate, and the global PACK — the emit phase drops from ~8.6 ms to
-# in-kernel cost at config-1 scale. Output rows are flushed with the
-# cursor + overwrite discipline of tpq/kernels/move.py::_pack_kernel.
-# ---------------------------------------------------------------------------
-
-_FLUSH_ROWS = 32  # rows per output DMA; K*8 arrivals + carry < 2*_FLUSH_ROWS
-
-
-def _fused_probe_kernel(D: int, K: int, nkp: int, npay: int, nspay: int,
-                        out_row_limit: int, mosaic: bool, flush_rows: int,
-                        *refs):
-    from tpq.kernels.move import _flat_cumsum_excl, _flat_roll_dyn
-    from tpq.kernels.shift_network import route
-
-    nout = nkp + npay + nspay
-    nt = nkp + 1 + npay
-    nq = nkp + 2 + nspay
-    tabs = refs[:nt]
-    q = refs[nt:nt + nq]
-    cnt_out, dfirst_out = refs[nt + nq], refs[nt + nq + 1]
-    outs = refs[nt + nq + 2:nt + nq + 2 + nout]
-    acc = refs[nt + nq + 2 + nout]
-    cur = refs[nt + nq + 2 + nout + 1]
-    sem = refs[nt + nq + 2 + nout + 2]
-    t_keys, t_occ, t_pays = tabs[:nkp], tabs[nkp], tabs[nkp + 1:]
-    q_keys, lane, qocc = q[:nkp], q[nkp], q[nkp + 1]
-    q_spay = q[nkp + 2:]
-
-    pi, t = pl.program_id(0), pl.program_id(1)
-    first = (pi == 0) & (t == 0)
-    last = (pi == pl.num_programs(0) - 1) & (t == pl.num_programs(1) - 1)
-    W = acc.shape[0] // nout  # accumulator rows per plane
-
-    @pl.when(first)
-    def _():
-        cur[0] = 0
-        cur[1] = 0
-        acc[:] = jnp.zeros_like(acc)
-
-    F = flush_rows
-    lane_v = lane[0]
-    qk = [x[0] for x in q_keys]
-    live = qocc[0] > 0
-    cnt, d_first, pay_sel = _walk(D, K, t_keys, t_occ, t_pays, qk, lane_v, live)
-    cnt_out[0] = cnt
-    dfirst_out[0] = d_first
-
-    # candidate block: K stacked rounds of the (8,128) query tile
-    occ_cand = jnp.concatenate(
-        [(live & (cnt > j)).astype(I32) for j in range(K)], axis=0)
-    cand = ([jnp.concatenate([x] * K, axis=0) for x in qk]
-            + [jnp.concatenate([pay_sel[j][i] for j in range(K)], axis=0)
-               for i in range(npay)]
-            + [jnp.concatenate([x[0]] * K, axis=0) for x in q_spay])
-
-    # in-block pack (front-compact, order preserved)
-    flat = (jax.lax.broadcasted_iota(I32, occ_cand.shape, 0) * L
-            + jax.lax.broadcasted_iota(I32, occ_cand.shape, 1))
-    rank = _flat_cumsum_excl(occ_cand, mosaic)
-    shift = (flat - rank) * occ_cand
-    moved, _ = route(cand, occ_cand, shift, "pack", mosaic=mosaic)
-    # Mosaic lowers integer reductions via an unsupported i64 proxy on
-    # v5e; f32 is exact for block counts < 2^24
-    arrivals = jnp.sum(occ_cand.astype(jnp.float32)).astype(I32)
-
-    # merge into the cursor accumulator
-    c, alen = cur[0], cur[1]
-    total_now = alen + arrivals
-    pad_rows = W - K * 8
-    zpad = jnp.zeros((pad_rows, L), I32)
-    for i in range(nout):
-        buf = jnp.concatenate([moved[i], zpad], axis=0)      # (W, L)
-        buf = _flat_roll_dyn(buf, alen, mosaic)               # no wrap: < W*L
-        acc[i * W:(i + 1) * W, :] = acc[i * W:(i + 1) * W, :] + buf
-    full = total_now >= F * L
-    space = c + F <= out_row_limit
-
-    def flush(row0):
-        copies = []
-        for i in range(nout):
-            dma = pltpu.make_async_copy(
-                acc.at[pl.ds(i * W, F), :],
-                outs[i].at[pl.ds(jnp.minimum(row0, out_row_limit), F), :],
-                sem.at[i])
-            dma.start()
-            copies.append(dma)
-        for dma in copies:
-            dma.wait()
-
-    @pl.when(full & space)
-    def _():
-        flush(c)
-
-    @pl.when(full)
-    def _():
-        # retire the flushed rows: shift the window down by F
-        rowi = jax.lax.broadcasted_iota(I32, (W, L), 0)
-        for i in range(nout):
-            w = acc[i * W:(i + 1) * W, :]
-            if mosaic:
-                w = pltpu.roll(w, W - F, 0)
-            else:
-                w = jnp.roll(w, W - F, 0)
-            acc[i * W:(i + 1) * W, :] = jnp.where(rowi < W - F, w, 0)
-        cur[0] = c + F
-        cur[1] = total_now - F * L
-
-    @pl.when(~full)
-    def _():
-        cur[1] = total_now
-
-    # drain the carry window on the final step (reads the post-update
-    # cursor; over-writes past the live prefix are zeroed host-side)
-    @pl.when(last)
-    def _():
-        flush(cur[0])
-
-
-def fused_probe_emit_planes(tables: LaneTables, s: Table, out_capacity: int,
-                            key: str = "key", interpret: bool = False):
-    """Sort+PAD the probe side, then one fused walk+compact+write kernel.
-
-    Returns (out_planes [nout x i32[out_capacity] — inline matches
-    front-compacted, garbage beyond the inline total], cnt, d_first,
-    qk_planes, spay_planes, qocc, lane_p, probe_overflow). Plane order:
-    key planes, R pay planes, S pay planes."""
-    if interpret is False and jax.default_backend() == "cpu":
-        interpret = True
-    plan = tables.plan
-    D, K, npart, probe_cap = plan.depth, plan.inline_k, plan.npart, plan.probe_cap
-    qk_p, spay_p, lane_p, qocc, overflow = _probe_layout(
-        plan, s, key, interpret)
-
-    nkp, npay, nspay = len(tables.key_planes), len(tables.pay_planes), len(spay_p)
-    nout = nkp + npay + nspay
-    qrows = probe_cap // L
-    grid = (npart, qrows // 8)
-    tspec = pl.BlockSpec((1, D, L), lambda pi, t: (pi, 0, 0),
-                         memory_space=pltpu.VMEM)
-    qspec = pl.BlockSpec((1, 8, L), lambda pi, t: (pi, t, 0),
-                         memory_space=pltpu.VMEM)
-
-    def q3(x):
-        return x.reshape(npart, qrows, L)
-
-    flush_rows = max(_FLUSH_ROWS, K * 8)  # arrivals/step must fit one window
-    W = 2 * flush_rows
-    out_rows = (out_capacity + L - 1) // L + W
-    out_row_limit = out_rows - flush_rows
-    kern = functools.partial(_fused_probe_kernel, D, K, nkp, npay, nspay,
-                             out_row_limit, not interpret, flush_rows)
-    call = pl.pallas_call(
-        kern, grid=grid,
-        in_specs=[tspec] * (nkp + 1 + npay) + [qspec] * (nkp + 2 + nspay),
-        out_specs=[qspec] * 2 + [pl.BlockSpec(memory_space=pl.ANY)] * nout,
-        out_shape=([jax.ShapeDtypeStruct((npart, qrows, L), I32)] * 2
-                   + [jax.ShapeDtypeStruct((out_rows, L), I32)] * nout),
-        scratch_shapes=[pltpu.VMEM((nout * W, L), I32),
-                        pltpu.SMEM((2,), I32),
-                        pltpu.SemaphoreType.DMA((nout,))],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        interpret=interpret or jax.default_backend() == "cpu")
-    with jax.enable_x64(False):
-        outs = call(*tables.key_planes, tables.occ, *tables.pay_planes,
-                    *[q3(x) for x in qk_p], q3(lane_p), q3(qocc),
-                    *[q3(x) for x in spay_p])
-    cnt = outs[0].reshape(npart * probe_cap)
-    d_first = outs[1].reshape(npart * probe_cap)
-    out_planes = [o.reshape(out_rows * L)[:out_capacity] for o in outs[2:]]
-    return (out_planes, cnt, d_first, qk_p, spay_p, qocc, lane_p, overflow)
-
-
-# ---------------------------------------------------------------------------
 # the join operator
 # ---------------------------------------------------------------------------
-
-def lane_probe_emit(tables: LaneTables, s: Table, out_capacity: int,
-                    key: str = "key", r_names: list[str] | None = None,
-                    r_dtypes: list | None = None,
-                    interpret: bool = False) -> tuple[Table, jnp.ndarray]:
-    """Probe prebuilt lane tables with S and emit the joined rows —
-    the probe-many half of the build-once/probe-many API (VERDICT r2
-    item 3: the ring/chunk loops of the distributed join build R's
-    table once and call this per hop; BASELINE.json:L5 "tables
-    hash-partitioned per chip ... shuffle overlapped with probe").
-
-    r_names/r_dtypes describe R's payload columns (they are not
-    recoverable from the packed plane tiles); default assumes one i64
-    payload per plane pair. Returns (result Table, ok bool scalar) —
-    `ok` False means a static capacity was violated (table bucket
-    depth, probe partition, or tail) and the caller must fall back /
-    renegotiate; the result rows are then meaningless but num_rows
-    still reports the true total."""
-    return _probe_emit_common(fused_probe_emit_planes, tables, s,
-                              out_capacity, key, r_names, r_dtypes,
-                              interpret)
-
 
 def _probe_emit_common(fused_fn, tables: LaneTables, s: Table,
                        out_capacity: int, key: str,
@@ -650,47 +426,3 @@ def _probe_emit_common(fused_fn, tables: LaneTables, s: Table,
             tuple(p.astype(jnp.uint32) for p in merged[pos:pos + npl]), dt)
         pos += npl
     return Table(cols, total), ok
-
-
-def lane_path_taken(r: Table, s: Table, out_capacity: int, key: str = "key",
-                    plan: LanePlan | None = None) -> jnp.ndarray:
-    """The `ok` flag lane_hash_join conds on — True iff the compiled lane
-    path handles this input (no bucket-depth / probe-partition / tail
-    violation). The bench runner records it so a fallback can never
-    masquerade as a lane measurement again (VERDICT r2 item 6)."""
-    if plan is None:
-        plan = plan_lane(r.capacity, s.capacity, out_capacity=out_capacity)
-    tables = build_lane_tables(r, plan, key)
-    _, ok = lane_probe_emit(tables, s, out_capacity, key=key,
-                            r_names=[n for n in r.names if n != key],
-                            r_dtypes=[r.col(n).dtype for n in r.names
-                                      if n != key])
-    return ok
-
-
-def lane_hash_join(r: Table, s: Table, out_capacity: int, key: str = "key",
-                   plan: LanePlan | None = None,
-                   interpret: bool = False) -> Table:
-    """Partitioned lane-bucket hash join — hash_join's compiled-TPU path.
-    build-once + probe + emit, with the union-sort engine as the lax.cond
-    fallback on any static-capacity violation (the reference's
-    "sort-merge fallback for high-skew keys", BASELINE.json:L5)."""
-    from tpq.ops.union_join import union_join
-
-    if plan is None:
-        plan = plan_lane(r.capacity, s.capacity, out_capacity=out_capacity)
-    r_names = [n for n in r.names if n != key]
-    r_dtypes = [r.col(n).dtype for n in r_names]
-
-    tables = build_lane_tables(r, plan, key, interpret)
-    out, ok = lane_probe_emit(tables, s, out_capacity, key=key,
-                              r_names=r_names, r_dtypes=r_dtypes,
-                              interpret=interpret)
-
-    def keep(_):
-        return out
-
-    def fallback(_):
-        return union_join(r, s, out_capacity, key=key)
-
-    return jax.lax.cond(ok, keep, fallback, operand=None)

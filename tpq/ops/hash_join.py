@@ -48,9 +48,9 @@ def hash_join(
     lane path; for zipf-skewed probes (BASELINE.json:L9).
     """
     if impl == "lane":
-        from tpq.kernels.lane_table import lane_hash_join
+        from tpq.kernels.lane2 import lane2_hash_join
 
-        return lane_hash_join(r, s, out_capacity, key=key)
+        return lane2_hash_join(r, s, out_capacity, key=key)
     if impl == "skew":
         from tpq.ops.skew_join import skew_hash_join
 

@@ -41,9 +41,9 @@ import jax
 import jax.numpy as jnp
 
 from tpq.columnar import Table
-from tpq.kernels.lane_table import (LanePlan, build_lane_tables,
-                                    lane_probe_emit, plan_lane,
-                                    probe_lane_tables)
+from tpq.kernels.lane_table import LanePlan, probe_lane_tables
+from tpq.kernels.lane2 import (build_lane2_tables, lane2_probe_emit,
+                               plan_lane2)
 from tpq.ops._expand import barrier
 from tpq.ops.filter import compact
 from tpq.ops.union_join import col_planes, union_join
@@ -124,7 +124,7 @@ def skew_hash_join(r: Table, s: Table, out_capacity: int, key: str = "key",
     list_plan = _broadcast_plan(heavy_cap, r.capacity, depth=48, inline_k=1,
                                 out_capacity=out_capacity)
     list_t = Table({key: heavy_keys}, n_heavy)
-    list_tables = build_lane_tables(list_t, list_plan, key)
+    list_tables = build_lane2_tables(list_t, list_plan, key)
     ok_list = list_tables.ok
 
     r_heavy_mask = _membership(list_tables, r, key)
@@ -132,7 +132,7 @@ def skew_hash_join(r: Table, s: Table, out_capacity: int, key: str = "key",
     if s.capacity != r.capacity:
         list_plan_s = _broadcast_plan(heavy_cap, s.capacity, depth=48,
                                       inline_k=1, out_capacity=out_capacity)
-        list_tables_s = build_lane_tables(list_t, list_plan_s, key)
+        list_tables_s = build_lane2_tables(list_t, list_plan_s, key)
     else:
         list_tables_s = list_tables
     s_heavy_mask = _membership(list_tables_s, s, key)
@@ -144,18 +144,18 @@ def skew_hash_join(r: Table, s: Table, out_capacity: int, key: str = "key",
     heavy_out_cap = out_capacity // 2
     mini_plan = _broadcast_plan(mini_cap, s.capacity, depth=64, inline_k=8,
                                 out_capacity=heavy_out_cap)
-    mini_tables = build_lane_tables(r_heavy_small, mini_plan, key)
-    heavy_out, ok_heavy = lane_probe_emit(
+    mini_tables = build_lane2_tables(r_heavy_small, mini_plan, key)
+    heavy_out, ok_heavy = lane2_probe_emit(
         mini_tables, s, heavy_out_cap, key=key,
         r_names=r_names, r_dtypes=r_dtypes)
 
     # light path: plain partitioned lane join on the residual mass
     r_light = compact(r, ~r_heavy_mask)
     s_light = compact(s, ~s_heavy_mask)
-    light_plan = plan_lane(r_light.capacity, s_light.capacity,
-                           out_capacity=out_capacity)
-    light_tables = build_lane_tables(r_light, light_plan, key)
-    light_out, ok_light = lane_probe_emit(
+    light_plan = plan_lane2(r_light.capacity, s_light.capacity,
+                            out_capacity=out_capacity)
+    light_tables = build_lane2_tables(r_light, light_plan, key)
+    light_out, ok_light = lane2_probe_emit(
         light_tables, s_light, out_capacity, key=key,
         r_names=r_names, r_dtypes=r_dtypes)
 
