@@ -39,12 +39,18 @@ I64 = jnp.int64
 
 
 def _consume(t: Table) -> jnp.ndarray:
-    """Device-side reduction of a chunk output: (rows, xor-of-sums) —
-    forces materialization without shipping the chunk to the host."""
-    acc = t.num_rows.astype(I64)
+    """Device-side reduction over EVERY output column (so XLA cannot
+    dead-code-eliminate any of the join's materialization) — i32 plane
+    sums via bitcast, not i64 reductions (v5e has no fast i64 vector
+    ALU; the i64 form measured ~5x the join itself at config-2 scale)."""
+    import jax.lax as lax
+
+    acc = t.num_rows.astype(jnp.int32)
     mask = t.valid_mask()
     for c in t.columns.values():
-        acc = acc ^ jnp.sum(jnp.where(mask, c.astype(I64), 0))
+        planes = lax.bitcast_convert_type(c, jnp.int32)
+        acc = acc ^ jnp.sum(jnp.where(mask[:, None], planes, 0),
+                            dtype=jnp.int32)
     return acc
 
 
@@ -59,7 +65,10 @@ def bench_build_sweep(n_build: int = 10_000_000, n_probe: int = 100_000_000,
     gen_r = jax.jit(lambda: datagen.gen_relation_device(
         n_build, n_build, payloads, seed=1, capacity=r_cap).columns)
     R = Table(gen_r(), n_build)
-    out_cap = chunk_rows * 2
+    # matches ~ 1 per probe row at these key domains; 1.25x slack (every
+    # out_cap-proportional cost — emit buffers, zeroing, plane regroup,
+    # consume — scales with this)
+    out_cap = chunk_rows + chunk_rows // 4
     plan = plan_lane2(r_cap, chunk_rows, out_capacity=out_cap)
     build = jax.jit(lambda t: build_lane2_tables(t, plan))
     r_names = [n for n in R.names if n != "key"]
@@ -67,12 +76,16 @@ def bench_build_sweep(n_build: int = 10_000_000, n_probe: int = 100_000_000,
 
     nchunks = (n_probe + chunk_rows - 1) // chunk_rows
 
+    # ONE compiled generator serves every chunk (row offset/count are
+    # traced) — an eager per-chunk gen dispatches each u64 op separately
+    # through the axon tunnel
+    gen_chunk = jax.jit(lambda off: datagen.gen_relation_device(
+        chunk_rows, n_build, payloads, seed=2, capacity=chunk_rows,
+        row_offset=off).columns)
+
     def gen_c(ci):
         rows = min(chunk_rows, n_probe - ci * chunk_rows)
-        t = datagen.gen_relation_device(rows, n_build, payloads, seed=2,
-                                        capacity=chunk_rows,
-                                        row_offset=ci * chunk_rows)
-        return t
+        return Table(gen_chunk(jnp.uint64(ci * chunk_rows)), rows)
 
     @jax.jit
     def probe_chunk(tables, s_cols, s_rows):
@@ -86,25 +99,35 @@ def bench_build_sweep(n_build: int = 10_000_000, n_probe: int = 100_000_000,
     jax.block_until_ready(tables.occ)
     s0 = gen_c(0)
     force_sync(probe_chunk(tables, s0.columns, s0.num_rows))
+    del s0
 
-    # timed sweep: build + per-chunk (gen + probe + consume), dispatched
+    # build timed on its own (one fresh run; rebuilding INSIDE the chunk
+    # loop keeps two 2+ GB table sets alive and thrashes HBM)
+    t0 = time.perf_counter()
+    tables2 = build(R)
+    force_sync(tables2.occ)
+    t_build = time.perf_counter() - t0
+    del tables2
+
+    # timed sweep: per-chunk (gen + probe + consume), dispatched
     # back-to-back with one data-dependent sync at the end (the only
     # trustworthy timing on the axon tunnel — tpq/bench/timing.py).
-    # On-device gen is ~2 streaming passes and is INCLUDED in elapsed,
-    # slightly understating the join's own rows/s.
+    # On-device gen is ~2 streaming passes and is INCLUDED, slightly
+    # understating the join's own rows/s. Chunk refs are dropped as soon
+    # as the probe is dispatched so at most two chunks' buffers overlap.
     t0 = time.perf_counter()
-    tables = build(R)
     total = jnp.int64(0)
     acc = jnp.int64(0)
     oks = []
     for ci in range(nchunks):
         sc = gen_c(ci)
         rows_c, acc_c, ok = probe_chunk(tables, sc.columns, sc.num_rows)
+        del sc
         total = total + rows_c
         acc = acc ^ acc_c
         oks.append(ok)
     force_sync((total, acc))
-    elapsed = time.perf_counter() - t0
+    elapsed = time.perf_counter() - t0 + t_build
     total = int(total)
     all_ok = all(bool(o) for o in oks)
 
@@ -113,6 +136,7 @@ def bench_build_sweep(n_build: int = 10_000_000, n_probe: int = 100_000_000,
         "n_build": n_build, "n_probe": n_probe, "payloads": payloads,
         "nchunks": nchunks, "chunk_rows": chunk_rows,
         "elapsed_ms": elapsed * 1e3,
+        "build_ms": t_build * 1e3,
         "probe_rows_per_sec": n_probe / elapsed,
         "out_rows": total,
         "lane_path_taken_all_chunks": all_ok,
@@ -181,11 +205,13 @@ def bench_pipeline(n_dim: int = 1 << 20, n_fact: int = 100_000_000,
     r_dtypes = [dim.col(n).dtype for n in r_names]
     build = jax.jit(lambda t: build_lane2_tables(t, plan))
 
+    gen_chunk = jax.jit(lambda off: datagen.gen_relation_device(
+        chunk_rows, n_dim, fact_payloads, seed=2, capacity=chunk_rows,
+        row_offset=off).columns)
+
     def gen_c(ci):
         rows = min(chunk_rows, n_fact - ci * chunk_rows)
-        return datagen.gen_relation_device(rows, n_dim, fact_payloads,
-                                           seed=2, capacity=chunk_rows,
-                                           row_offset=ci * chunk_rows)
+        return Table(gen_chunk(jnp.uint64(ci * chunk_rows)), rows)
 
     partial_cap = next_pow2(n_dim) * 2
 
@@ -205,20 +231,27 @@ def bench_pipeline(n_dim: int = 1 << 20, n_fact: int = 100_000_000,
     jax.block_until_ready(tables.occ)
     f0 = gen_c(0)
     force_sync(pipeline_chunk(tables, f0.columns, f0.num_rows))
+    del f0
 
     t0 = time.perf_counter()
-    tables = build(dim)
+    tables2 = build(dim)
+    force_sync(tables2.occ)
+    t_build = time.perf_counter() - t0
+    del tables2
+
+    t0 = time.perf_counter()
     partials = []
     oks = []
     for ci in range(nchunks):
         fc = gen_c(ci)
         cols, n_groups, ok = pipeline_chunk(tables, fc.columns, fc.num_rows)
+        del fc
         partials.append(Table(cols, n_groups))
         oks.append(ok)
     value_names = [n for n in partials[0].names if n not in ("key", "count")]
     final = _reagg(partials, value_names)
     force_sync(final.num_rows)
-    elapsed = time.perf_counter() - t0
+    elapsed = time.perf_counter() - t0 + t_build
 
     report = {
         "config": "pipeline_100m",
@@ -273,3 +306,25 @@ def bench_pipeline(n_dim: int = 1 << 20, n_fact: int = 100_000_000,
         report["groups_exact"] = True
     log(report)
     return report
+
+
+def main(argv=None):
+    import argparse
+    import json
+
+    p = argparse.ArgumentParser()
+    p.add_argument("which", choices=["sweep", "pipeline"])
+    p.add_argument("--json-out", default=None)
+    p.add_argument("--chunk-rows", type=int, default=1 << 24)
+    p.add_argument("--no-verify", action="store_true")
+    args = p.parse_args(argv)
+    fn = bench_build_sweep if args.which == "sweep" else bench_pipeline
+    rep = fn(chunk_rows=args.chunk_rows, verify=not args.no_verify)
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(rep, f, indent=2, default=str)
+    return rep
+
+
+if __name__ == "__main__":
+    main()

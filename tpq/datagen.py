@@ -173,7 +173,8 @@ def gen_relation_device(rows: int, nkeys: int, payloads: int = 1,
     from tpq.columnar import next_pow2
 
     cap = capacity or next_pow2(rows)
-    idx = jnp.arange(cap, dtype=jnp.uint64) + jnp.uint64(row_offset)
+    idx = (jnp.arange(cap, dtype=jnp.uint64)
+           + jnp.asarray(row_offset, jnp.uint64))  # offset may be traced
     keys = (_stream_dev(seed, idx) % jnp.uint64(nkeys)).astype(jnp.int64)
     cols = {"key": keys}
     for j in range(payloads):
