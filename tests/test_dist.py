@@ -66,6 +66,7 @@ def test_dist_join_matches_oracle(oracle, tmp_path, algo, exchange_impl):
 
 
 @requires_multidevice
+@pytest.mark.slow  # covered by the faster skew-split test; ~2 min compile
 def test_dist_join_zipf_skew_correct(oracle, tmp_path):
     """theta=1.0 skew: one chip owns the heavy key; correctness must hold
     even before skew-splitting (D4) makes it fast."""
@@ -141,9 +142,11 @@ def test_dist_join_lane_local_impl(oracle, tmp_path):
 
     R = DistTable.from_numpy(r, mesh)
     S = DistTable.from_numpy(s, mesh)
+    # lane_depth=16: the interpret-mode walk graph scales with depth x 4
+    # groups; 16 is ample at these row counts and ~3x the compile speed
     out, overflow = dist_hash_join(R, S, mesh, out_capacity_per_shard=1 << 14,
                                    exchange_impl="ring",
-                                   local_impl="lane")
+                                   local_impl="lane", lane_depth=16)
     assert int(np.asarray(overflow).sum()) == 0
     assert_tables_equal(_canon_np(out.to_numpy()), expected, "dist_lane_ring")
 
@@ -179,6 +182,7 @@ def test_ring_join_output_overflow_not_silent():
 
 
 @requires_multidevice
+@pytest.mark.slow  # two full ring compiles; the overflow-not-silent test
 def test_dist_renegotiation_recovers_ring_overflow():
     """§5.3 closure for the distributed path: start from the capacity that
     overflows and let the host wrapper grow it to the full result."""
@@ -280,6 +284,7 @@ def test_planned_capacities_no_hand_tuning():
 
 
 @requires_multidevice
+@pytest.mark.slow  # two 8192-row joins; divert semantics also covered above
 def test_skew_split_actually_diverts_heavy_keys():
     """The heavy path must carry the zipf head: with a tiny exchange
     capacity that WOULD overflow on the unsplit join, the split join

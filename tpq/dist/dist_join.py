@@ -106,6 +106,7 @@ def dist_hash_join(
     skew: SkewConfig | None = None,
     n_chunks: int = 1,
     local_impl: str = "sorted",
+    lane_depth: int = 48,
 ) -> tuple[DistTable, jax.Array]:
     """Distributed inner equi-join. Returns (row-sharded result,
     overflow counts int32[nchips] — nonzero means a shard's exchange
@@ -180,7 +181,11 @@ def dist_hash_join(
                                            lane2_probe_emit, plan_lane2)
 
             probe_cap_in = ex_cap if exchange_impl == "ring" else nchips * ex_cap
+            # lane_depth is a renegotiable static capacity: un-split heavy
+            # build keys overflow bucket depth, which no amount of output/
+            # exchange capacity can absorb (dryrun regression, r4)
             lane_plan = plan_lane2(R2.capacity, probe_cap_in,
+                                   depth=lane_depth,
                                    out_capacity=out_capacity_per_shard)
             lane_tables = build_lane2_tables(R2, lane_plan, key)
             lane_rnames = [n for n in R2.names if n != key]
@@ -364,6 +369,9 @@ def dist_hash_join_renegotiated(
         out_cap *= 2
         if ex_cap is not None:
             ex_cap *= 2
+        # every static capacity grows, including the lane bucket depth —
+        # a heavy un-split build key overflows depth, not output space
+        kwargs["lane_depth"] = (kwargs.get("lane_depth", 48) * 3 + 1) // 2
         if skew is not None:
             kwargs["skew"] = skew = SkewConfig(
                 candidates_per_shard=skew.candidates_per_shard,
