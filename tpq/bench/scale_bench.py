@@ -162,45 +162,45 @@ def bench_build_sweep(n_build: int = 10_000_000, n_probe: int = 100_000_000,
     return report
 
 
-def _reagg(partials: list[Table], value_names: list[str]) -> Table:
-    """Exact re-aggregation of per-chunk group tables: group-by key again,
-    summing the partial counts and sums."""
-    from tpq.ops.hash_aggregate import hash_aggregate
-
-    cat = {}
-    for n in partials[0].names:
-        cat[n] = jnp.concatenate([p.col(n) for p in partials])
-    # concatenation scatters each partial's live prefix through the
-    # buffer, breaking the prefix-live invariant — compact against the
-    # explicit slot mask with num_rows = capacity (a smaller num_rows
-    # would prefix-mask away later partials' live rows)
-    from tpq.ops.filter import compact
-
-    valid = jnp.concatenate([p.valid_mask() for p in partials])
-    merged = compact(Table(cat, cat[partials[0].names[0]].shape[0]), valid)
-    agg = hash_aggregate(merged, key="key")
-    cols = {"key": agg.col("key"), "count": agg.col("sum_count")}
-    for n in value_names:
-        cols[n] = agg.col(f"sum_{n}")
-    return Table(cols, agg.num_rows)
-
-
 def bench_pipeline(n_dim: int = 1 << 20, n_fact: int = 100_000_000,
-                   fact_payloads: int = 2, chunk_rows: int = 1 << 24,
+                   fact_payloads: int = 2, chunk_rows: int = 1 << 22,
                    filter_value: int = 1 << 19, verify: bool = True,
-                   hbm_bw: float | None = None, log=print) -> dict:
-    """Config 4: filter -> hash join -> hash aggregate over a 100M-row
-    fact table, chunked with exact re-aggregation."""
-    from tpq.ops.filter import filter_table
+                   hbm_bw: float | None = None, staged: bool = True,
+                   log=print) -> dict:
+    """Config 4 (r5): filter -> hash join -> hash aggregate over a
+    100M-row fact table, chunked. Three design changes vs the r4 form
+    whose 16M-chunk megaprogram stalled the axon remote compiler:
+
+      * the filter is PUSHED DOWN into the probe grouping sort
+        (lane2_probe_emit(keep=...), tpq/query.py's fusion) — the
+        standalone filter's multi-operand sort never runs;
+      * per-chunk group tables land in a DENSE [n_state] accumulator:
+        after `key < filter_value` every group key is in
+        [0, filter_value), and a chunk's aggregate emits ascending
+        unique keys, so the PAD mover places them at their key slot at
+        DMA rate and u32 carry-chain adds fold them in — no
+        re-aggregation sort ever sees more than one chunk;
+      * staged=True compiles gen / probe+emit / aggregate+accumulate as
+        separate programs with progress logs, so a compile stall is
+        attributable (and each program is far below the stall size).
+    """
+    from tpq.kernels.move import pad
+    from tpq.ops.filter import compact
     from tpq.ops.hash_aggregate import hash_aggregate
+    from tpq.ops.union_join import col_planes, planes_col
 
     if hbm_bw is None:
         hbm_bw = roofline.measure_hbm_bw(size_mb=256, iters=5)
     dim_cap = next_pow2(n_dim)
     dim = Table(jax.jit(lambda: datagen.gen_relation_device(
         n_dim, n_dim, 1, seed=1, capacity=dim_cap).columns)(), n_dim)
-    out_cap = chunk_rows
-    plan = plan_lane2(dim_cap, chunk_rows, out_capacity=out_cap)
+    # ~live_frac of fact rows survive the filter; size the probe layout
+    # for the filtered mass (25% margin before plan_lane2's own 1.5x)
+    # and the emit buffer for ~1 match per surviving row (1.5x slack)
+    live_frac = min(1.0, filter_value / n_dim)
+    out_cap = max(1 << 13, int(chunk_rows * live_frac * 3 // 2))
+    eff_s_cap = max(1 << 12, int(chunk_rows * min(1.0, live_frac * 1.25)))
+    plan = plan_lane2(dim_cap, eff_s_cap, out_capacity=out_cap)
     r_names = [n for n in dim.names if n != "key"]
     r_dtypes = [dim.col(n).dtype for n in r_names]
     build = jax.jit(lambda t: build_lane2_tables(t, plan))
@@ -213,25 +213,75 @@ def bench_pipeline(n_dim: int = 1 << 20, n_fact: int = 100_000_000,
         rows = min(chunk_rows, n_fact - ci * chunk_rows)
         return Table(gen_chunk(jnp.uint64(ci * chunk_rows)), rows)
 
-    partial_cap = next_pow2(n_dim) * 2
+    n_state = next_pow2(min(filter_value, n_dim))
+    vnames = (["count"] + [f"sum_r_{n}" for n in r_names]
+              + [f"sum_s_p{j}" for j in range(fact_payloads)])
+    nplanes = 2 * len(vnames)
+
+    def probe_core(tables, f_cols, f_rows):
+        fact = Table(f_cols, f_rows)
+        kc = fact.col("key")
+        keep = kc < jnp.asarray(filter_value, kc.dtype)
+        out, ok = lane2_probe_emit(tables, fact, out_cap, key="key",
+                                   r_names=r_names, r_dtypes=r_dtypes,
+                                   keep=keep)
+        return (dict(out.columns),
+                jnp.minimum(out.num_rows, out_cap).astype(jnp.int32), ok)
+
+    def agg_core(state, out_cols, out_rows):
+        agg = hash_aggregate(Table(out_cols, out_rows), key="key")
+        planes = []
+        for n in vnames:
+            planes += [p.astype(jnp.int32) for p in col_planes(agg.col(n))]
+        dest = jnp.clip(agg.col("key"), 0, n_state - 1).astype(jnp.int32)
+        padded, _ = pad(planes, dest, agg.num_rows, n_state)
+        new_state, carry = [], None
+        for j, (a, b) in enumerate(zip(state, padded)):
+            b = b.astype(jnp.uint32)
+            if j % 2 == 0:
+                lo = a + b
+                carry = (lo < a).astype(jnp.uint32)
+                new_state.append(lo)
+            else:
+                new_state.append(a + b + carry)
+        return new_state
 
     @jax.jit
-    def pipeline_chunk(tables, f_cols, f_rows):
-        fact = Table(f_cols, f_rows)
-        filt = filter_table(fact, "key", "lt", filter_value)
-        out, ok = lane2_probe_emit(tables, filt, out_cap, key="key",
-                                   r_names=r_names, r_dtypes=r_dtypes)
-        out = Table(out.columns, jnp.minimum(out.num_rows, out_cap))
-        agg = hash_aggregate(out, key="key")
-        return dict(agg.with_capacity(partial_cap).columns), \
-            agg.num_rows.astype(jnp.int32), ok
+    def finalize(state):
+        cols = {"key": jnp.arange(n_state, dtype=jnp.int64)}
+        for j, n in enumerate(vnames):
+            cols[n] = planes_col((state[2 * j], state[2 * j + 1]), jnp.int64)
+        return compact(Table(cols, n_state), cols["count"] > 0)
 
+    state0 = [jnp.zeros(n_state, jnp.uint32) for _ in range(nplanes)]
     nchunks = (n_fact + chunk_rows - 1) // chunk_rows
+
+    if staged:
+        probe_j = jax.jit(probe_core)
+        agg_j = jax.jit(agg_core)
+
+        def chunk_step(tables, state, f_cols, f_rows):
+            out_cols, n_out, ok = probe_j(tables, f_cols, f_rows)
+            return agg_j(state, out_cols, n_out), ok
+    else:
+        @jax.jit
+        def chunk_step(tables, state, f_cols, f_rows):
+            out_cols, n_out, ok = probe_core(tables, f_cols, f_rows)
+            return agg_core(state, out_cols, n_out), ok
+
+    log(f"[pipeline] compiling build (dim {n_dim} rows)...")
     tables = build(dim)
     jax.block_until_ready(tables.occ)
+    log("[pipeline] compiling chunk generator...")
     f0 = gen_c(0)
-    force_sync(pipeline_chunk(tables, f0.columns, f0.num_rows))
-    del f0
+    force_sync(f0.columns)
+    log(f"[pipeline] compiling chunk step (chunk {chunk_rows} rows, "
+        f"staged={staged})...")
+    st_w, _ = chunk_step(tables, state0, f0.columns, f0.num_rows)
+    force_sync(st_w)
+    log("[pipeline] compiling finalize...")
+    force_sync(finalize(state0).num_rows)
+    del f0, st_w
 
     t0 = time.perf_counter()
     tables2 = build(dim)
@@ -240,16 +290,14 @@ def bench_pipeline(n_dim: int = 1 << 20, n_fact: int = 100_000_000,
     del tables2
 
     t0 = time.perf_counter()
-    partials = []
+    state = state0
     oks = []
     for ci in range(nchunks):
         fc = gen_c(ci)
-        cols, n_groups, ok = pipeline_chunk(tables, fc.columns, fc.num_rows)
+        state, ok = chunk_step(tables, state, fc.columns, fc.num_rows)
         del fc
-        partials.append(Table(cols, n_groups))
         oks.append(ok)
-    value_names = [n for n in partials[0].names if n not in ("key", "count")]
-    final = _reagg(partials, value_names)
+    final = finalize(state)
     force_sync(final.num_rows)
     elapsed = time.perf_counter() - t0 + t_build
 
@@ -315,11 +363,19 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("which", choices=["sweep", "pipeline"])
     p.add_argument("--json-out", default=None)
-    p.add_argument("--chunk-rows", type=int, default=1 << 24)
+    p.add_argument("--chunk-rows", type=int, default=None)
     p.add_argument("--no-verify", action="store_true")
+    p.add_argument("--fused", action="store_true",
+                   help="pipeline: one jitted chunk program instead of "
+                        "staged probe/aggregate programs")
     args = p.parse_args(argv)
-    fn = bench_build_sweep if args.which == "sweep" else bench_pipeline
-    rep = fn(chunk_rows=args.chunk_rows, verify=not args.no_verify)
+    if args.which == "sweep":
+        rep = bench_build_sweep(chunk_rows=args.chunk_rows or 1 << 24,
+                                verify=not args.no_verify)
+    else:
+        rep = bench_pipeline(chunk_rows=args.chunk_rows or 1 << 22,
+                             verify=not args.no_verify,
+                             staged=not args.fused)
     if args.json_out:
         with open(args.json_out, "w") as f:
             json.dump(rep, f, indent=2, default=str)

@@ -221,16 +221,16 @@ def _fused2_kernel(D: int, K: int, nkp: int, npay: int, nspay: int,
 
 
 def fused_probe_emit2(tables: LaneTables, s: Table, out_capacity: int,
-                      key: str = "key", interpret: bool = False):
-    """v3 fused probe+emit. Same contract as lane_table's
-    fused_probe_emit_planes (outputs in the padded [npart * probe_cap]
-    probe order), on (32,128) query tiles with async flushes."""
+                      key: str = "key", interpret: bool = False, keep=None):
+    """v3 fused probe+emit (outputs in the padded [npart * probe_cap]
+    probe order), on (32,128) query tiles with async flushes. `keep` is
+    the pushed-down filter mask (see lane_table._probe_layout)."""
     if interpret is False and jax.default_backend() == "cpu":
         interpret = True
     plan = tables.plan
     D, K, npart, probe_cap = plan.depth, plan.inline_k, plan.npart, plan.probe_cap
     qk_p, spay_p, lane_p, qocc, overflow = _probe_layout(
-        plan, s, key, interpret)
+        plan, s, key, interpret, keep=keep)
 
     nkp, npay, nspay = len(tables.key_planes), len(tables.pay_planes), len(spay_p)
     nout = nkp + npay + nspay
@@ -295,11 +295,12 @@ def build_lane2_tables(r: Table, plan: LanePlan, key: str = "key",
 def lane2_probe_emit(tables: LaneTables, s: Table, out_capacity: int,
                      key: str = "key", r_names: list[str] | None = None,
                      r_dtypes: list | None = None,
-                     interpret: bool = False) -> tuple[Table, jnp.ndarray]:
+                     interpret: bool = False,
+                     keep=None) -> tuple[Table, jnp.ndarray]:
     from tpq.kernels.lane_table import _probe_emit_common
 
     return _probe_emit_common(fused_probe_emit2, tables, s, out_capacity,
-                              key, r_names, r_dtypes, interpret)
+                              key, r_names, r_dtypes, interpret, keep=keep)
 
 
 def lane2_path_taken(r: Table, s: Table, out_capacity: int, key: str = "key",
@@ -317,9 +318,12 @@ def lane2_path_taken(r: Table, s: Table, out_capacity: int, key: str = "key",
 
 def lane2_hash_join(r: Table, s: Table, out_capacity: int, key: str = "key",
                     plan: LanePlan | None = None,
-                    interpret: bool = False) -> Table:
+                    interpret: bool = False, probe_keep=None) -> Table:
     """v3 lane join with the union-sort engine as the lax.cond fallback
-    on any static-capacity violation."""
+    on any static-capacity violation. `probe_keep` (bool[s.capacity]) is
+    a pushed-down probe-side filter predicate — equivalent to joining
+    against filter(s) but with the compaction absorbed into the probe
+    grouping sort (the config-4 fusion)."""
     from tpq.ops.union_join import union_join
 
     if plan is None:
@@ -330,12 +334,16 @@ def lane2_hash_join(r: Table, s: Table, out_capacity: int, key: str = "key",
     tables = build_lane2_tables(r, plan, key, interpret)
     out, ok = lane2_probe_emit(tables, s, out_capacity, key=key,
                                r_names=r_names, r_dtypes=r_dtypes,
-                               interpret=interpret)
+                               interpret=interpret, keep=probe_keep)
 
-    def keep(_):
+    def keep_branch(_):
         return out
 
     def fallback(_):
+        if probe_keep is not None:
+            from tpq.ops.filter import compact
+
+            return union_join(r, compact(s, probe_keep), out_capacity, key=key)
         return union_join(r, s, out_capacity, key=key)
 
-    return jax.lax.cond(ok, keep, fallback, operand=None)
+    return jax.lax.cond(ok, keep_branch, fallback, operand=None)

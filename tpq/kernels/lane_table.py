@@ -220,15 +220,25 @@ def _probe_kernel(D: int, K: int, nkp: int, npay: int, *refs):
 
 
 def _probe_layout(plan: LanePlan, s: Table, key: str,
-                  interpret: bool = False):
+                  interpret: bool = False, keep=None):
     """Shared probe-side preamble: group queries by partition (one
     1-key stable sort — `lane` is NOT carried through the sort, it is
     recomputed from the padded key planes, saving an operand in both
     the sort and the PAD) and pad to the [npart, probe_cap] layout.
+
+    `keep` (optional bool[capacity]) is a pushed-down filter predicate:
+    dropped rows route to the dead partition exactly like padding, so a
+    filter -> join pipeline pays ZERO extra passes — the compaction the
+    standalone filter operator does with its own multi-operand sort
+    (tpq/ops/filter.py) is absorbed into the grouping sort that already
+    runs here (the config-4 fusion, BASELINE.json:L10).
+
     Returns (qk_p, spay_p, lane_p, qocc, overflow)."""
     npart, probe_cap = plan.npart, plan.probe_cap
     sk = s.col(key)
     valid = s.valid_mask()
+    if keep is not None:
+        valid = valid & keep
     h = hash_keys(sk, plan.pbits + 7, SALT_LANE)
     if npart == 1 and probe_cap == s.capacity:
         # single-partition (broadcast) table: the probe layout is the
@@ -318,10 +328,10 @@ def _probe_emit_common(fused_fn, tables: LaneTables, s: Table,
                        out_capacity: int, key: str,
                        r_names: list[str] | None,
                        r_dtypes: list | None,
-                       interpret: bool) -> tuple[Table, jnp.ndarray]:
+                       interpret: bool, keep=None) -> tuple[Table, jnp.ndarray]:
     """Shared emit/tail/regroup half of probe-emit, parameterized by the
-    fused walk+emit kernel (v2 fused_probe_emit_planes or v3
-    tpq/kernels/lane2.fused_probe_emit2 — same output contract)."""
+    fused walk+emit kernel (v3 tpq/kernels/lane2.fused_probe_emit2).
+    `keep` is the pushed-down filter mask (see _probe_layout)."""
     plan = tables.plan
     K = plan.inline_k
     if r_names is None:
@@ -333,7 +343,7 @@ def _probe_emit_common(fused_fn, tables: LaneTables, s: Table,
                   + [s.col(n).dtype for n in s_names])
 
     (out_planes, cnt, d_first, qk_p, spay_p, qocc, lane_p,
-     probe_ovf) = fused_fn(tables, s, out_capacity, key, interpret)
+     probe_ovf) = fused_fn(tables, s, out_capacity, key, interpret, keep=keep)
 
     u = plan.npart * plan.probe_cap
     live_q = qocc > 0

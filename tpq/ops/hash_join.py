@@ -35,6 +35,7 @@ def hash_join(
     key: str = "key",
     bits: int | None = None,
     impl: str = "lane",
+    probe_keep=None,
 ) -> Table:
     """Inner equi-join R ⋈ S on `key`.
 
@@ -46,11 +47,21 @@ def hash_join(
     impl="skew": the heavy/light split (tpq/ops/skew_join.py) — heavy
     probe keys ride a broadcast mini-table, the residual mass rides the
     lane path; for zipf-skewed probes (BASELINE.json:L9).
+
+    probe_keep (bool[s.capacity], optional): pushed-down probe-side
+    filter — semantically join(r, filter(s, keep)). The lane impl
+    absorbs the compaction into its probe grouping sort (zero extra
+    passes); other impls compact first.
     """
     if impl == "lane":
         from tpq.kernels.lane2 import lane2_hash_join
 
-        return lane2_hash_join(r, s, out_capacity, key=key)
+        return lane2_hash_join(r, s, out_capacity, key=key,
+                               probe_keep=probe_keep)
+    if probe_keep is not None:
+        from tpq.ops.filter import compact
+
+        s = compact(s, probe_keep)
     if impl == "skew":
         from tpq.ops.skew_join import skew_hash_join
 

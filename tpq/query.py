@@ -12,6 +12,7 @@ allows, and there is exactly one dispatch.
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 
 from tpq.columnar import Table
 from tpq.ops import filter_table, hash_aggregate, hash_join, merge_join
@@ -32,11 +33,22 @@ def full_pipeline(
     Output: one row per surviving key group with count + sums over all
     joined payload columns (oracle pipeline: oracle filter | join |
     aggregate chained on files).
+
+    Fusion decision (SURVEY.md §2.1 C10): for the hash path the filter
+    is PUSHED DOWN into the join as a predicate mask — the probe
+    grouping sort absorbs the compaction, so the standalone filter
+    operator's multi-operand sort never runs. The merge path filters
+    materially (its co-sort wants a compact relation).
     """
-    fact_f = filter_table(fact, filter_col, filter_op, filter_value)
     if algo == "hash":
-        joined = hash_join(dim, fact_f, out_capacity, impl=join_impl)
+        from tpq.ops.filter import _OPS
+
+        c = fact.col(filter_col)
+        keep = _OPS[filter_op](c, jnp.asarray(filter_value, c.dtype))
+        joined = hash_join(dim, fact, out_capacity, impl=join_impl,
+                           probe_keep=keep)
     elif algo == "merge":
+        fact_f = filter_table(fact, filter_col, filter_op, filter_value)
         joined = merge_join(dim, fact_f, out_capacity)
     else:
         raise ValueError(f"unknown algo {algo!r}")
