@@ -275,10 +275,19 @@ def bench_pipeline(n_dim: int = 1 << 20, n_fact: int = 100_000_000,
     log("[pipeline] compiling chunk generator...")
     f0 = gen_c(0)
     force_sync(f0.columns)
-    log(f"[pipeline] compiling chunk step (chunk {chunk_rows} rows, "
-        f"staged={staged})...")
-    st_w, _ = chunk_step(tables, state0, f0.columns, f0.num_rows)
-    force_sync(st_w)
+    if staged:
+        log(f"[pipeline] compiling probe+emit (chunk {chunk_rows} rows)...")
+        oc_w, n_w, _ = probe_j(tables, f0.columns, f0.num_rows)
+        force_sync(n_w)
+        log("[pipeline] compiling aggregate+accumulate...")
+        st_w = agg_j(state0, oc_w, n_w)
+        force_sync(st_w)
+        del oc_w, n_w
+    else:
+        log(f"[pipeline] compiling chunk step (chunk {chunk_rows} rows, "
+            f"fused)...")
+        st_w, _ = chunk_step(tables, state0, f0.columns, f0.num_rows)
+        force_sync(st_w)
     log("[pipeline] compiling finalize...")
     force_sync(finalize(state0).num_rows)
     del f0, st_w

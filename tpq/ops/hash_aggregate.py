@@ -27,17 +27,39 @@ import jax
 import jax.numpy as jnp
 
 from tpq.columnar import Table
-from tpq.ops._expand import barrier
 from tpq.ops.merge_join import sort_table_by_key
 from tpq.ops.union_join import col_planes, fill_forward, planes_col
 
 I32 = jnp.int32
 I64 = jnp.int64
+U32 = jnp.uint32
+
+
+def _u64_cumsum_planes(lo: jnp.ndarray, hi: jnp.ndarray):
+    """Inclusive cumsum of u64 values held as (lo, hi) u32 planes, via one
+    associative scan whose combiner is u64 addition with an explicit
+    carry. Bit-identical to jnp.cumsum on the u64 column (both wrap mod
+    2^64) but never emits a 64-bit vector op — v5e has no i64 vector ALU
+    and XLA:TPU's emulated i64 scan is both slow and a compile-time
+    landmine at multi-M rows (the r4 config-4 stall, BASELINE.md)."""
+
+    def comb(a, b):
+        lo_s = a[0] + b[0]
+        carry = (lo_s < b[0]).astype(U32)
+        return (lo_s, a[1] + b[1] + carry)
+
+    return jax.lax.associative_scan(comb, (lo, hi))
 
 
 def hash_aggregate(t: Table, key: str = "key") -> Table:
-    """Group t by `key`; count + sum every other column. Output capacity =
-    input capacity (ngroups <= nrows always)."""
+    """Group t by `key`; count + sum every other column (wrapping int64).
+    Output capacity = input capacity (ngroups <= nrows always).
+
+    Plane-native pipeline: every per-group statistic is computed on u32
+    planes (u64-with-carry scans, borrow-chain run sums) and the planes
+    feed the PACK mover directly; int64 columns are reconstructed only
+    for the packed group rows. Zero 64-bit vector ops on the cap-length
+    hot path."""
     cap = t.capacity
     ts = sort_table_by_key(t, key)
     k = ts.col(key)
@@ -50,24 +72,37 @@ def hash_aggregate(t: Table, key: str = "key") -> Table:
     is_end = valid & nxt_new
     rs = jax.lax.cummax(jnp.where(is_start, i, -1))  # my run's start index
 
-    # per-column sums at end positions: c[i] - (cumsum just before run start)
+    # per-column inclusive cumsums as u32 plane pairs; `pre` = cumsum just
+    # before my run's start, fill-forwarded from run-start positions
     names = [n for n in ts.names if n != key]
-    cums = []
+    cum_pairs: list[tuple[jnp.ndarray, jnp.ndarray]] = []
+    pre_planes: list[jnp.ndarray] = []
+    zero1 = jnp.zeros(1, U32)
     for n in names:
-        v = jnp.where(valid, ts.col(n), 0).astype(I64)
-        cums.append(jnp.cumsum(v))
-    pre_planes: list[jnp.ndarray] = []  # c shifted right by 1, as u32 planes
-    for c in cums:
-        shifted = jnp.concatenate([jnp.zeros(1, I64), c[:-1]])
-        pre_planes += list(col_planes(shifted))
+        lo, hi = col_planes(ts.col(n).astype(I64))
+        lo = jnp.where(valid, lo, 0)
+        hi = jnp.where(valid, hi, 0)
+        clo, chi = _u64_cumsum_planes(lo, hi)
+        cum_pairs.append((clo, chi))
+        pre_planes += [jnp.concatenate([zero1, clo[:-1]]),
+                       jnp.concatenate([zero1, chi[:-1]])]
     filled = fill_forward(is_start, pre_planes) if pre_planes else []
 
-    out_cols: dict[str, jnp.ndarray] = {}
-    out_cols[key] = jnp.where(is_end, k, 0)
-    out_cols["count"] = jnp.where(is_end, (i - rs + 1).astype(I64), 0)
+    # output planes in column order: key, count, sum_<n>... — masking by
+    # is_end is unnecessary (PACK drops every row with occ == 0)
+    layout: list[tuple[str, int, object]] = [(key, 0, k.dtype)]
+    flat: list[jnp.ndarray] = list(col_planes(k))
+    layout[0] = (key, len(flat), k.dtype)
+    cnt = (i - rs + 1).astype(U32)
+    flat += [cnt, jnp.zeros(cap, U32)]
+    layout.append(("count", 2, I64))
     for j, n in enumerate(names):
-        base = planes_col(tuple(filled[2 * j: 2 * j + 2]), I64)
-        out_cols[f"sum_{n}"] = jnp.where(is_end, cums[j] - base, 0)
+        clo, chi = cum_pairs[j]
+        blo, bhi = filled[2 * j].astype(U32), filled[2 * j + 1].astype(U32)
+        slo = clo - blo
+        borrow = (clo < blo).astype(U32)
+        flat += [slo, chi - bhi - borrow]
+        layout.append((f"sum_{n}", 2, I64))
 
     # compact group rows (at end positions) to the front with the PACK
     # mover (tpq/kernels/move.py) — one linear Pallas pass instead of a
@@ -75,18 +110,11 @@ def hash_aggregate(t: Table, key: str = "key") -> Table:
     # BASELINE.md #19; the 100M-row config-4 aggregate sits here)
     from tpq.kernels.move import pack
 
-    layout: list[tuple[str, int]] = []
-    flat: list[jnp.ndarray] = []
-    for n, col in out_cols.items():
-        ps = col_planes(col)
-        layout.append((n, len(ps)))
-        flat += list(ps)
     packed, n_groups = pack([p.astype(I32) for p in flat],
                             is_end.astype(I32))
     cols, pos = {}, 0
-    for n, cnt in layout:
-        cols[n] = planes_col(tuple(packed[pos + j].astype(jnp.uint32)
-                                   for j in range(cnt)),
-                             out_cols[n].dtype)
-        pos += cnt
+    for n, npl, dt in layout:
+        cols[n] = planes_col(tuple(packed[pos + j].astype(U32)
+                                   for j in range(npl)), dt)
+        pos += npl
     return Table(cols, n_groups.astype(I32))
