@@ -115,3 +115,41 @@ def test_device_datagen_matches_numpy():
                                        row_offset=2000)
     for k in ref:
         assert np.array_equal(np.asarray(dev2.col(k))[:3000], ref[k][2000:]), k
+
+
+def test_tiled_scans_match_flat():
+    """tpq/ops/scan.py tiled decomposition == flat scan / numpy, including
+    non-tiled fallback sizes and wrap semantics."""
+    import jax.numpy as jnp
+
+    from tpq.ops.scan import (cummax_i32, cumsum_i32, fill_forward,
+                              u64_cumsum_planes)
+
+    rng = np.random.default_rng(9)
+    for n in (7, 512, 4 * 512, 20 * 512, 20 * 512 + 256):
+        x = rng.integers(-(1 << 30), 1 << 30, n).astype(np.int32)
+        assert np.array_equal(np.asarray(cumsum_i32(jnp.asarray(x))),
+                              np.cumsum(x, dtype=np.int32)), n
+        assert np.array_equal(np.asarray(cummax_i32(jnp.asarray(x))),
+                              np.maximum.accumulate(x)), n
+        v = rng.integers(0, 1 << 63, n, dtype=np.uint64)
+        lo = jnp.asarray((v & 0xFFFFFFFF).astype(np.uint32))
+        hi = jnp.asarray((v >> 32).astype(np.uint32))
+        clo, chi = u64_cumsum_planes(lo, hi)
+        got = (np.asarray(chi).astype(np.uint64) << 32) | np.asarray(clo)
+        assert np.array_equal(got, np.cumsum(v, dtype=np.uint64)), n
+        valid = jnp.asarray(rng.random(n) < 0.3)
+        p = jnp.asarray(rng.integers(0, 1 << 31, n).astype(np.uint32))
+        (f,) = fill_forward(valid, [p])
+        # positions before the first valid sample are unspecified (no
+        # engine consumer reads them) — compare from the first valid on
+        exp = np.zeros(n, np.uint32)
+        last = 0
+        vnp, pnp = np.asarray(valid), np.asarray(p)
+        for i in range(n):
+            if vnp[i]:
+                last = pnp[i]
+            exp[i] = last
+        if vnp.any():
+            first = int(np.argmax(vnp))
+            assert np.array_equal(np.asarray(f)[first:], exp[first:]), n

@@ -102,10 +102,12 @@ class LaneTables:
 
 def _rank_in_group(group: jnp.ndarray) -> jnp.ndarray:
     """group: sorted i32[N]. Returns i - first_index_of(group[i])."""
+    from tpq.ops.scan import cummax_i32
+
     n = group.shape[0]
     i = jnp.arange(n, dtype=I32)
     new = jnp.concatenate([jnp.ones(1, bool), group[1:] != group[:-1]])
-    return i - jax.lax.cummax(jnp.where(new, i, -1))
+    return i - cummax_i32(jnp.where(new, i, -1))
 
 
 def build_lane_tables(r: Table, plan: LanePlan, key: str = "key",

@@ -35,6 +35,10 @@ def barrier(x):
 
 
 def exclusive_cumsum(x: jnp.ndarray) -> jnp.ndarray:
+    from tpq.ops.scan import cumsum_i32
+
+    if x.dtype == jnp.int32:
+        return cumsum_i32(x) - x
     return jnp.cumsum(x) - x
 
 

@@ -28,27 +28,17 @@ import jax.numpy as jnp
 
 from tpq.columnar import Table
 from tpq.ops.merge_join import sort_table_by_key
-from tpq.ops.union_join import col_planes, fill_forward, planes_col
+from tpq.ops.scan import cummax_i32, fill_forward, u64_cumsum_planes
+from tpq.ops.union_join import col_planes, planes_col
 
 I32 = jnp.int32
 I64 = jnp.int64
 U32 = jnp.uint32
 
-
-def _u64_cumsum_planes(lo: jnp.ndarray, hi: jnp.ndarray):
-    """Inclusive cumsum of u64 values held as (lo, hi) u32 planes, via one
-    associative scan whose combiner is u64 addition with an explicit
-    carry. Bit-identical to jnp.cumsum on the u64 column (both wrap mod
-    2^64) but never emits a 64-bit vector op — v5e has no i64 vector ALU
-    and XLA:TPU's emulated i64 scan is both slow and a compile-time
-    landmine at multi-M rows (the r4 config-4 stall, BASELINE.md)."""
-
-    def comb(a, b):
-        lo_s = a[0] + b[0]
-        carry = (lo_s < b[0]).astype(U32)
-        return (lo_s, a[1] + b[1] + carry)
-
-    return jax.lax.associative_scan(comb, (lo, hi))
+# u64-as-planes cumsum and fill-forward live in tpq/ops/scan.py (tiled
+# forms — one flat cap-length scan costs 1-2 min of XLA:TPU compile at
+# the chunked pipeline's shapes; see that module's docstring)
+_u64_cumsum_planes = u64_cumsum_planes
 
 
 def hash_aggregate(t: Table, key: str = "key") -> Table:
@@ -70,7 +60,7 @@ def hash_aggregate(t: Table, key: str = "key") -> Table:
     # a run ends where the next row starts a new run, is padding, or at cap-1
     nxt_new = jnp.concatenate([is_start[1:] | ~valid[1:], jnp.ones(1, bool)])
     is_end = valid & nxt_new
-    rs = jax.lax.cummax(jnp.where(is_start, i, -1))  # my run's start index
+    rs = cummax_i32(jnp.where(is_start, i, -1))  # my run's start index
 
     # per-column inclusive cumsums as u32 plane pairs; `pre` = cumsum just
     # before my run's start, fill-forwarded from run-start positions

@@ -70,7 +70,9 @@ def nominate_heavy_keys(keys: jnp.ndarray, num_rows, heavy_cap: int = 2048,
     ks = jax.lax.sort((eff,), num_keys=1, is_stable=True)[0]
     i = jnp.arange(m, dtype=I32)
     new = jnp.concatenate([jnp.ones(1, bool), ks[1:] != ks[:-1]])
-    start = jax.lax.cummax(jnp.where(new, i, -1))
+    from tpq.ops.scan import cummax_i32
+
+    start = cummax_i32(jnp.where(new, i, -1))
     # run length known at run END positions; nominate there
     nxt_new = jnp.concatenate([new[1:], jnp.ones(1, bool)])
     runlen = i - start + 1

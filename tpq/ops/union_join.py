@@ -88,15 +88,12 @@ def planes_col(planes: tuple[jnp.ndarray, ...], dtype) -> jnp.ndarray:
 
 def fill_forward(sample_valid: jnp.ndarray, planes: list[jnp.ndarray]):
     """Per-plane fill-forward: position i gets plane values from the most
-    recent j <= i with sample_valid[j]. One associative scan, any number of
-    planes (measured ~7 ms at 2M x 6 planes — flat in plane count)."""
+    recent j <= i with sample_valid[j]. Tiled scan (tpq/ops/scan.py) —
+    a flat cap-length associative_scan costs 1-2 min of XLA:TPU compile
+    at chunked-pipeline shapes."""
+    from tpq.ops.scan import fill_forward as _ff
 
-    def comb(a, b):
-        av, bv = a[0], b[0]
-        return (av | bv,) + tuple(jnp.where(bv, bx, ax) for ax, bx in zip(a[1:], b[1:]))
-
-    res = jax.lax.associative_scan(comb, (sample_valid, *planes))
-    return list(res[1:])
+    return _ff(sample_valid, planes)
 
 
 # ---------------------------------------------------------------------------
@@ -181,12 +178,14 @@ def union_join(
     is_s = (side_s == 1) & valid
 
     # ---- run structure (all scans, no gathers) ----
+    from tpq.ops.scan import cummax_i32, cumsum_i32
+
     i = jnp.arange(u, dtype=I32)
     nr = jnp.concatenate([jnp.ones(1, bool), k_s[1:] != k_s[:-1]]) | (~valid)
-    cr_ex = jnp.cumsum(is_r.astype(I32)) - is_r.astype(I32)
-    base = jax.lax.cummax(jnp.where(nr, cr_ex, -1))
+    cr_ex = cumsum_i32(is_r.astype(I32)) - is_r.astype(I32)
+    base = cummax_i32(jnp.where(nr, cr_ex, -1))
     m = cr_ex - base                      # R rows before position i in its run
-    rs = jax.lax.cummax(jnp.where(nr, i, -1))
+    rs = cummax_i32(jnp.where(nr, i, -1))
     m_s = jnp.where(is_s, m, 0)           # per-S-row match count
 
     total64 = jnp.sum(m_s.astype(I64))
