@@ -125,6 +125,9 @@ def test_ring_exchange_equals_dense():
 
 
 @requires_multidevice
+@pytest.mark.slow  # 700 s cold on this box (r5 sweep): interpret-mode
+# Pallas under an 8-shard shard_map ring; the driver's dryrun_multichip
+# exercises the same path every round (dense+lane variant)
 def test_dist_join_lane_local_impl(oracle, tmp_path):
     """local_impl="lane": the compiled lane-bucket kernels run inside the
     shard_map body with R's table built once per shard and probed per
@@ -152,6 +155,8 @@ def test_dist_join_lane_local_impl(oracle, tmp_path):
 
 
 @requires_multidevice
+@pytest.mark.slow  # 123 s cold (two full ring-join compiles); the
+# renegotiation test and dryrun_multichip keep the contract covered
 def test_ring_join_output_overflow_not_silent():
     """Round-2 regression (MULTICHIP_r02 rc=1): the final with_capacity
     clamped num_rows BEFORE the overflow check, so the ring variant

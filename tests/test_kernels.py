@@ -53,6 +53,8 @@ def test_partition_overflow_flag():
     assert bool(overflow)
 
 
+@pytest.mark.slow  # 87 s cold; the bits-sequence variant keeps the
+# differential coverage in the fast suite
 def test_lsd_radix_sort_matches_numpy():
     """C5: the Pallas 1-bit-split LSD sort (interpret mode) against a
     numpy stable sort — duplicates, live-prefix padding, multiple
@@ -95,6 +97,7 @@ def test_lsd_radix_sort_bits_arbitrary_sequence():
     assert np.array_equal(np.asarray(out[2]), idx[order])
 
 
+@pytest.mark.slow  # 322 s cold: compiles BOTH merge engines end-to-end
 def test_merge_join_radix_engine_matches_lax():
     """merge_join(sort_engine="radix") — C5 wired into the merge path —
     is row-identical to the lax-sorted engine, negative keys included."""
@@ -152,6 +155,7 @@ def test_hash_keys_range():
         assert h.min() >= 0 and h.max() < (1 << bits)
 
 
+@pytest.mark.slow  # 191 s cold: a full lane join + union fallback pair
 def test_lane_h2_hazard_falls_back_exact():
     """Two distinct keys colliding on the lane table's full (bucket, h2)
     composite (found by offline search over random u64 keys; plan has

@@ -48,25 +48,39 @@ JOIN_FNS = {"merge": merge_join, "hash": _hash_join_sorted,
             "lane": _hash_join_lane}
 
 
-@pytest.mark.parametrize("impl", ["merge", "hash", "lane"])
-@pytest.mark.parametrize(
-    "nr,ns,nkeys,kind,cap",
-    [
-        (1000, 1500, 300, "uniform", 1 << 14),
-        (1000, 1500, 2_000_000, "uniform", 1 << 10),  # mostly no matches
-        (2048, 2048, 64, "uniform", 1 << 17),  # heavy duplicates
-        (2000, 1500, 1000, "zipf", 1 << 17),  # skewed
-        (1, 1, 1, "uniform", 1 << 4),
-        (7, 1, 3, "uniform", 1 << 4),
-    ],
-)
+# Cold-compile budget (VERDICT r3 item 6): every (impl, shape) pair is a
+# distinct XLA/interpret-Pallas compile (~0.5-3 min cold on this 2-core
+# box). The fast suite keeps all three engines on the canonical case, the
+# lane engine on the heavy-duplicate case, and marks the remaining
+# cross-shape combinations slow — they still run in the full suite.
+_JOIN_CASES = [
+    (1000, 1500, 300, "uniform", 1 << 14),
+    (1000, 1500, 2_000_000, "uniform", 1 << 10),  # mostly no matches
+    (2048, 2048, 64, "uniform", 1 << 17),  # heavy duplicates
+    (2000, 1500, 1000, "zipf", 1 << 17),  # skewed
+    (1, 1, 1, "uniform", 1 << 4),
+    (7, 1, 3, "uniform", 1 << 4),
+]
+_FAST_JOINS = {("merge", 0), ("hash", 0), ("lane", 0), ("lane", 2)}
+
+
+def _join_matrix():
+    for impl in ("merge", "hash", "lane"):
+        for ci, case in enumerate(_JOIN_CASES):
+            marks = [] if (impl, ci) in _FAST_JOINS else [pytest.mark.slow]
+            yield pytest.param(impl, *case, marks=marks,
+                               id=f"{impl}-case{ci}")
+
+
+@pytest.mark.parametrize("impl,nr,ns,nkeys,kind,cap", list(_join_matrix()))
 def test_join_matches_oracle(oracle, tmp_path, impl, nr, ns, nkeys, kind, cap):
     r = datagen.gen_relation_np(nr, nkeys, payloads=2, seed=11, kind=kind)
     s = datagen.gen_relation_np(ns, nkeys, payloads=1, seed=22, kind=kind)
     _join_case(oracle, tmp_path, r, s, JOIN_FNS[impl], cap, f"{impl}_{nr}x{ns}k{nkeys}{kind}")
 
 
-@pytest.mark.parametrize("impl", ["merge", "hash", "lane"])
+@pytest.mark.parametrize("impl", [
+    "merge", "hash", pytest.param("lane", marks=pytest.mark.slow)])
 def test_join_empty_sides(oracle, tmp_path, impl):
     r = datagen.gen_relation_np(0, 10, payloads=1, seed=1)
     s = datagen.gen_relation_np(100, 10, payloads=1, seed=2)
