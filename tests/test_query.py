@@ -30,6 +30,8 @@ def test_pipeline_matches_chained_oracle(oracle, tmp_path, algo):
     assert_tables_equal(canonicalize(out), expected, f"pipeline_{algo}")
 
 
+@pytest.mark.slow  # 146 s cold (two lane compiles); the faster
+# pipeline_lane_impl_matches_sorted covers the pushdown differentially
 def test_lane_pushdown_equals_filter_then_join():
     """probe_keep pushdown on the lane engine == materialized filter
     followed by the join (the config-4 fusion, r5)."""

@@ -3,6 +3,7 @@ resolved — the wrapper re-runs at a larger static capacity and returns the
 full result."""
 
 import numpy as np
+import pytest
 
 from tpq import Table
 from tpq.columnar import canonicalize
@@ -13,6 +14,31 @@ from tpq.ops.renegotiate import run_renegotiated
 from conftest import assert_tables_equal
 
 
+def test_renegotiate_wrapper_semantics_no_compile():
+    """§5.3 wrapper logic with a stub operator (zero engine compiles —
+    the compiled-join variants below are slow-marked at 171/117 s cold):
+    the wrapper must retry with growing capacity until num_rows fits,
+    then stop."""
+    calls = []
+
+    def make(cap):
+        calls.append(cap)
+
+        def op(a, b):
+            # operators report the TRUE total via num_rows even when it
+            # exceeds the static capacity — here the true size is 100
+            return Table({"key": np.zeros(max(cap, 8), np.int64)}, 100)
+
+        return op
+
+    t = Table.from_numpy({"key": np.zeros(4, np.int64)})
+    out = run_renegotiated(make, (t, t), out_capacity=8)
+    assert int(out.num_rows) == 100
+    assert calls == [8, 128], calls  # one retry at next_pow2(max(16, 100))
+
+
+@pytest.mark.slow  # 171 s cold (compiles the join at 2+ capacities);
+# the stub test above keeps the wrapper contract in the fast suite
 def test_renegotiate_grows_to_fit(oracle, tmp_path):
     # 64x32 all-equal keys -> 2048 output rows; start at capacity 64.
     r = {"key": np.zeros(64, dtype=np.int64), "p0": np.arange(64, dtype=np.int64)}
@@ -36,6 +62,7 @@ def test_renegotiate_grows_to_fit(oracle, tmp_path):
     assert_tables_equal(canonicalize(out), expected, "renegotiated")
 
 
+@pytest.mark.slow  # 117 s cold; grows_to_fit keeps §5.3 covered fast
 def test_renegotiate_no_retry_when_fits(oracle, tmp_path):
     r = datagen.gen_relation_np(500, 400, payloads=1, seed=3)
     s = datagen.gen_relation_np(700, 400, payloads=1, seed=4)

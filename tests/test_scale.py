@@ -37,6 +37,8 @@ def test_join_10m_matches_oracle(oracle, tmp_path):
     assert_tables_equal(canonicalize(out), expected, "scale_10m")
 
 
+@pytest.mark.slow  # 575 s cold (200k-row join + per-window slices); the
+# checksum test keeps the scale-verification contract in the fast suite
 def test_key_range_slicing_verifies_join(oracle, tmp_path):
     """The sampled-slice contract: restricting inputs and output to a key
     window commutes with the join, so the oracle verifies windows of a

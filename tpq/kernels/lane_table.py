@@ -350,14 +350,22 @@ def _probe_emit_common(fused_fn, tables: LaneTables, s: Table,
     u = plan.npart * plan.probe_cap
     live_q = qocc > 0
     cnt_eff = jnp.where(live_q, cnt, 0)
-    total64 = jnp.sum(cnt_eff.astype(jnp.int64))
-    total = jnp.minimum(total64, jnp.int64(2**31 - 1)).astype(I32)
-    inline64 = jnp.sum(jnp.minimum(cnt_eff, K).astype(jnp.int64))
-    total_inline = jnp.minimum(inline64, jnp.int64(2**31 - 1)).astype(I32)
+    if u * plan.depth < 2**31:
+        # statically bounded: total <= u * D, so plain i32 sums are exact.
+        # The i64 forms cost 2.5 ms at config-1 (scripts/tpu_r5_probes.py
+        # "i64 totals" delta) — v5e reduces i64 through slow emulation.
+        total = jnp.sum(cnt_eff)
+        total_inline = jnp.sum(jnp.minimum(cnt_eff, K))
+        tail_out64 = (total - total_inline).astype(jnp.int64)
+    else:
+        total64 = jnp.sum(cnt_eff.astype(jnp.int64))
+        total = jnp.minimum(total64, jnp.int64(2**31 - 1)).astype(I32)
+        inline64 = jnp.sum(jnp.minimum(cnt_eff, K).astype(jnp.int64))
+        total_inline = jnp.minimum(inline64, jnp.int64(2**31 - 1)).astype(I32)
+        tail_out64 = total64 - inline64
     tail_rows = jnp.sum((cnt_eff > K).astype(I32))
-    tail_out64 = total64 - inline64
     caps_ok = (tail_rows <= plan.tail_rows_cap) & \
-        (tail_out64 <= plan.tail_out_cap) & (inline64 <= out_capacity)
+        (tail_out64 <= plan.tail_out_cap) & (total_inline <= out_capacity)
     ok = tables.ok & (~probe_ovf) & caps_ok
 
     nkp = len(qk_p)
