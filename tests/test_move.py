@@ -19,9 +19,9 @@ def _pad_case(n_live, out_len, nplanes, seed, n_alloc=None):
 
 @pytest.mark.parametrize("n_live,out_len,nplanes,seed", [
     (3000, 4096, 1, 0),
-    (5000, 8192, 3, 1),
+    pytest.param(5000, 8192, 3, 1, marks=pytest.mark.slow),  # 9 s cold
     (0, 2048, 2, 2),
-    (2048, 2048, 2, 3),          # dense: no gaps at all
+    pytest.param(2048, 2048, 2, 3, marks=pytest.mark.slow),  # dense
     (1, 2048, 1, 4),
 ])
 def test_pad_matches_numpy(n_live, out_len, nplanes, seed):
@@ -55,8 +55,8 @@ def test_pad_with_dead_suffix():
 
 @pytest.mark.parametrize("n,density,nplanes,seed", [
     (4096, 0.6, 1, 0),
-    (10000, 0.3, 4, 1),
-    (2048, 0.0, 2, 2),
+    pytest.param(10000, 0.3, 4, 1, marks=pytest.mark.slow),  # 10 s cold
+    pytest.param(2048, 0.0, 2, 2, marks=pytest.mark.slow),   # 11 s cold
     (2048, 1.0, 2, 3),
 ])
 def test_pack_matches_numpy(n, density, nplanes, seed):

@@ -50,9 +50,9 @@ JOIN_FNS = {"merge": merge_join, "hash": _hash_join_sorted,
 
 # Cold-compile budget (VERDICT r3 item 6): every (impl, shape) pair is a
 # distinct XLA/interpret-Pallas compile (~0.5-3 min cold on this 2-core
-# box). The fast suite keeps all three engines on the canonical case, the
-# lane engine on the heavy-duplicate case, and marks the remaining
-# cross-shape combinations slow — they still run in the full suite.
+# box). The fast suite keeps all three engines on the canonical case and
+# marks the remaining cross-shape combinations slow — they still run in
+# the full suite (pytest -m "not tpu").
 _JOIN_CASES = [
     (1000, 1500, 300, "uniform", 1 << 14),
     (1000, 1500, 2_000_000, "uniform", 1 << 10),  # mostly no matches
@@ -61,7 +61,7 @@ _JOIN_CASES = [
     (1, 1, 1, "uniform", 1 << 4),
     (7, 1, 3, "uniform", 1 << 4),
 ]
-_FAST_JOINS = {("merge", 0), ("hash", 0), ("lane", 0), ("lane", 2)}
+_FAST_JOINS = {("merge", 0), ("hash", 0), ("lane", 0)}
 
 
 def _join_matrix():
@@ -100,6 +100,8 @@ def test_join_edge_keys(oracle, tmp_path, impl):
     _join_case(oracle, tmp_path, r, s, JOIN_FNS[impl], 1 << 8, f"{impl}_edge")
 
 
+@pytest.mark.slow  # 91 s cold (three engine compiles at tiny shapes);
+# per-key cross-product duplicates stay covered by the fast case0 tests
 def test_join_all_equal_keys(oracle, tmp_path):
     """Worst-case duplicates: |R|x|S| cross product within one key."""
     r = {"key": np.zeros(64, dtype=np.int64), "p0": np.arange(64, dtype=np.int64)}
@@ -149,6 +151,8 @@ def test_filter_matches_oracle(oracle, tmp_path, op, value):
     assert_tables_equal(canonicalize(out), colio.load(str(po)), f"filter_{op}")
 
 
+@pytest.mark.slow  # 144 s cold; determinism is also implied by the
+# byte-exact oracle equality asserted across the suite
 def test_determinism_two_runs():
     """§5.2 determinism: same inputs run twice => byte-identical device
     output (catches nondeterministic scatter ordering)."""
@@ -169,6 +173,7 @@ def _hash_join_skew(r, s, cap):
     return skew_hash_join(r, s, cap, stride=4, sample_threshold=8)
 
 
+@pytest.mark.slow  # 639 s cold: compiles heavy+light engines + detection
 def test_skew_join_matches_oracle(oracle, tmp_path):
     """The heavy/light split path (BASELINE.json:L9) vs the oracle on a
     zipf probe side, plus the uniform degenerate (no heavy keys)."""
@@ -179,6 +184,7 @@ def test_skew_join_matches_oracle(oracle, tmp_path):
     _join_case(oracle, tmp_path, r, s2, _hash_join_skew, 1 << 15, "skew_uniform")
 
 
+@pytest.mark.slow  # 422 s cold; the TPU zipf bench exercises this hot
 def test_skew_path_taken_on_zipf():
     """The compiled split path must actually engage on the zipf pair (the
     honesty flag the bench runner records) and fall back cleanly on
