@@ -119,13 +119,28 @@ def test_device_datagen_matches_numpy():
 
 def test_tiled_scans_match_flat():
     """tpq/ops/scan.py tiled decomposition == flat scan / numpy, including
-    non-tiled fallback sizes and wrap semantics."""
+    non-tiled fallback sizes and wrap semantics. FLAT_MAX is patched down
+    so the tiled path is exercised at test sizes (in production it only
+    engages at >= 2M rows, where the flat form's compile explodes)."""
     import jax.numpy as jnp
 
+    from tpq.ops import scan as scan_mod
     from tpq.ops.scan import (cummax_i32, cumsum_i32, fill_forward,
                               u64_cumsum_planes)
 
-    rng = np.random.default_rng(9)
+    orig, scan_mod.FLAT_MAX = scan_mod.FLAT_MAX, 1024
+    try:
+        _run_scan_cases(np.random.default_rng(9), jnp, cummax_i32,
+                        cumsum_i32, fill_forward, u64_cumsum_planes)
+    finally:
+        scan_mod.FLAT_MAX = orig
+    # and once with the production threshold (flat path at these sizes)
+    _run_scan_cases(np.random.default_rng(10), jnp, cummax_i32,
+                    cumsum_i32, fill_forward, u64_cumsum_planes)
+
+
+def _run_scan_cases(rng, jnp, cummax_i32, cumsum_i32, fill_forward,
+                    u64_cumsum_planes):
     for n in (7, 512, 4 * 512, 20 * 512, 20 * 512 + 256):
         x = rng.integers(-(1 << 30), 1 << 30, n).astype(np.int32)
         assert np.array_equal(np.asarray(cumsum_i32(jnp.asarray(x))),

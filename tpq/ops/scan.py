@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 U32 = jnp.uint32
+FLAT_MAX = 1 << 21  # rows; >= this, the tiled decomposition kicks in
 
 
 def tiled_scan(comb, xs: tuple, block: int = 512) -> tuple:
@@ -32,9 +33,14 @@ def tiled_scan(comb, xs: tuple, block: int = 512) -> tuple:
     comb((a0..ak), (b0..bk)) -> (c0..ck) must be associative and
     elementwise (it is applied to 2-D tiles and broadcast (m,1)-vs-(m,B)
     in the prefix-combine step).
+
+    Below FLAT_MAX rows the flat form is kept: XLA:TPU's native lowering
+    is faster at runtime (the tiled form cost config-1 ~1.5 ms, measured
+    r5) and its compile time only explodes at multi-M shapes (76-674 s
+    per scan at 3.1M; fine at <= 2M).
     """
     n = xs[0].shape[0]
-    if n <= 4 * block or n % block:
+    if n < FLAT_MAX or n % block:
         return tuple(jax.lax.associative_scan(comb, xs))
     m = n // block
     xs2 = tuple(x.reshape(m, block) for x in xs)
