@@ -374,10 +374,11 @@ def _probe_emit_common(fused_fn, tables: LaneTables, s: Table,
     def _nplanes(dt) -> int:
         return 2 if dt in (jnp.int64, jnp.uint64) else 1
 
-    # splice base: zero the fused buffer past the inline prefix (flush
-    # windows over-write garbage there)
-    slot_live = jnp.arange(out_capacity, dtype=I32) < total_inline
-    base = [jnp.where(slot_live, p, 0) for p in out_planes]
+    # The Table contract leaves rows >= num_rows unspecified, so the
+    # fused buffer's unwritten slots stay as-is (a full-capacity zeroing
+    # pass cost 0.42 ms at config-1, scripts/tpu_r5_probes.py); only the
+    # tail splice window below must be cleared before its add.
+    base = list(out_planes)
 
     # ---- tail: queries with cnt > K. PACK carries ONLY the padded row
     # id (1 plane over u instead of 5 — the pack pass is u-length and
@@ -423,9 +424,13 @@ def _probe_emit_common(fused_fn, tables: LaneTables, s: Table,
                                                  dtype=I32)
         wplanes, _ = pad(tail_planes, wdest, tail_n, window,
                          interpret=interpret)
+        # slots at/after total_inline inside the window hold unwritten
+        # garbage (see base above) — clear them before adding tail rows
+        in_tail = (w0 + jnp.arange(window, dtype=I32)) >= total_inline
         out = []
         for b, wq in zip(base, wplanes):
-            win = jax.lax.dynamic_slice(b, (w0,), (window,)) + wq
+            win = jax.lax.dynamic_slice(b, (w0,), (window,))
+            win = jnp.where(in_tail, 0, win) + wq
             out.append(jax.lax.dynamic_update_slice(b, win, (w0,)))
         return out
 
