@@ -113,8 +113,8 @@ def main():
         t0 = time.perf_counter()
         jax.block_until_ready(f(*args))
         log(f"  {name}: compiled+first-run {time.perf_counter()-t0:.1f}s")
-        sec, r2 = slope_time(f, args, reps=2)
-        log(f"  {name}: {sec*1e3:.3f} ms  (r^2={r2:.4f})")
+        sec, _detail = slope_time(f, args, reps=2)
+        log(f"  {name}: {sec*1e3:.3f} ms")
         return sec * 1e3
 
     results = {}
