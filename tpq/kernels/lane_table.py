@@ -174,6 +174,16 @@ def _walk(D: int, K: int, t_keys, t_occ, t_pays, qk, lane_v, live):
     count, first match depth, and the first K matches' payloads."""
     shape = lane_v.shape
     npay = len(t_pays)
+    # Bucket lengths: build packs each (partition, lane) bucket at ranks
+    # 0..cnt-1 (build_lane_tables dest = bucket*D + rank), so
+    # occ[d, l] > 0  <=>  d < blen[l]. ONE blen gather per query replaces
+    # the per-round occ gather — 1 of the nkp+1+npay gathers in every
+    # walk round (docs/PERF_NOTES.md lever 4). f32 reduce: Mosaic lowers
+    # int reductions through an i64 proxy v5e lacks; exact for D < 2^24.
+    blen_row = jnp.sum(t_occ[0].astype(jnp.float32), axis=0,
+                       keepdims=True).astype(I32)
+    blen_v = jnp.take_along_axis(
+        jnp.broadcast_to(blen_row, shape), lane_v, axis=1)
     cnt = jnp.zeros(shape, I32)
     d_first = jnp.full(shape, -1, I32)
     pay_sel = [[jnp.zeros(shape, I32) for _ in range(npay)] for _ in range(K)]
@@ -181,9 +191,7 @@ def _walk(D: int, K: int, t_keys, t_occ, t_pays, qk, lane_v, live):
         gk = [jnp.take_along_axis(
             jnp.broadcast_to(t[0, d][None, :], shape), lane_v, axis=1)
             for t in t_keys]
-        gocc = jnp.take_along_axis(
-            jnp.broadcast_to(t_occ[0, d][None, :], shape), lane_v, axis=1)
-        m = live & (gocc > 0)
+        m = live & (d < blen_v)
         for a, b in zip(gk, qk):
             m = m & (a == b)
         gp = [jnp.take_along_axis(
